@@ -1,0 +1,176 @@
+"""Data layer tests: volume-split parity with the reference, loader
+semantics, and on-device augmentation behavior."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from unet_tpu.data import (
+    AugmentConfig,
+    BatchLoader,
+    SyntheticSliceDataset,
+    augment_batch,
+    normalize_batch,
+    volume_split,
+)
+
+REF = Path('/root/reference')
+
+
+def _fake_names(n_volumes=17, slices=3):
+    return sorted(f'{v}_slice_{s:04d}.png' for v in range(n_volumes)
+                  for s in range(slices))
+
+
+def test_volume_split_disjoint_and_complete():
+    names = _fake_names()
+    splits = {s: volume_split(names, s, val_ratio=0.2, test_ratio=0.1,
+                              seed=42) for s in ('train', 'val', 'test')}
+    all_out = sum(splits.values(), [])
+    assert sorted(all_out) == names
+    vols = {s: {f.split('_slice_')[0] for f in fs}
+            for s, fs in splits.items()}
+    assert not (vols['train'] & vols['val'])
+    assert not (vols['train'] & vols['test'])
+    assert not (vols['val'] & vols['test'])
+
+
+def test_volume_split_reproducible():
+    names = _fake_names()
+    a = volume_split(names, 'val', seed=42)
+    b = volume_split(names, 'val', seed=42)
+    c = volume_split(names, 'val', seed=7)
+    assert a == b and a != c
+
+
+@pytest.mark.skipif(not REF.exists(), reason='reference repo not mounted')
+def test_volume_split_matches_reference(tmp_path):
+    """Build a tiny real dataset dir and compare membership with the
+    reference LungTumorDataset for every split."""
+    pytest.importorskip('torch')
+    from PIL import Image
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    from unet.data.dataset import LungTumorDataset
+
+    (tmp_path / 'images').mkdir()
+    (tmp_path / 'labels').mkdir()
+    names = _fake_names(n_volumes=11, slices=2)
+    img = Image.fromarray(np.zeros((8, 8), np.uint8))
+    for n in names:
+        img.save(tmp_path / 'images' / n)
+        img.save(tmp_path / 'labels' / n)
+
+    for split in ('train', 'val', 'test', 'all'):
+        ref_ds = LungTumorDataset(str(tmp_path), split=split, val_ratio=0.2,
+                                  test_ratio=0.1, seed=42, img_size=8)
+        ours = volume_split(names, split, val_ratio=0.2, test_ratio=0.1,
+                            seed=42)
+        assert sorted(ours) == sorted(ref_ds.files), split
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticSliceDataset(num_volumes=5, slices_per_volume=2,
+                               img_size=32)
+    assert len(ds) > 0
+    img, msk = ds.load(0)
+    assert img.shape == (32, 32) and img.dtype == np.float32
+    assert img.min() >= 0 and img.max() <= 1
+    assert set(np.unique(msk)) <= {0, 1}
+    # deterministic loads
+    img2, _ = ds.load(0)
+    np.testing.assert_array_equal(img, img2)
+
+    loader = BatchLoader(ds, batch_size=3, shuffle=True, drop_last=True,
+                         seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 3 == len(loader)
+    im, mk = batches[0]
+    assert im.shape == (3, 32, 32, 1) and mk.shape == (3, 32, 32)
+
+
+def _identity_cfg():
+    return AugmentConfig(p_hflip=0.0, p_vflip=0.0, p_affine=0.0,
+                         p_elastic=0.0, p_grid=0.0, p_brightness=0.0,
+                         p_noise=0.0, p_dropout=0.0)
+
+
+def test_augment_identity_when_disabled(rng):
+    images = rng.random((2, 32, 32, 1), dtype=np.float32)
+    masks = (rng.random((2, 32, 32)) > 0.7).astype(np.int32)
+    out_i, out_m = augment_batch(jnp.asarray(images), jnp.asarray(masks),
+                                 jax.random.key(0), _identity_cfg())
+    np.testing.assert_allclose(np.asarray(out_i),
+                               (images - 0.5) / 0.5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_m), masks)
+
+
+def test_augment_hflip_exact(rng):
+    """With p_hflip=1 and everything else off, output = mirrored input."""
+    images = rng.random((2, 16, 16, 1), dtype=np.float32)
+    masks = (rng.random((2, 16, 16)) > 0.7).astype(np.int32)
+    cfg = _identity_cfg().replace(p_hflip=1.0)
+    out_i, out_m = augment_batch(jnp.asarray(images), jnp.asarray(masks),
+                                 jax.random.key(1), cfg)
+    np.testing.assert_allclose(np.asarray(out_i),
+                               (images[:, :, ::-1] - 0.5) / 0.5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_m), masks[:, :, ::-1])
+
+
+def test_augment_geometry_consistent_between_image_and_mask(rng):
+    """Put the 'tumor' intensity exactly on mask pixels; after any
+    geometric transform they must still coincide (approximately, modulo
+    bilinear-vs-nearest edges)."""
+    masks = np.zeros((4, 64, 64), np.int32)
+    masks[:, 24:40, 24:40] = 1
+    images = masks[..., None].astype(np.float32)
+    cfg = AugmentConfig(p_affine=1.0, p_elastic=1.0, p_grid=1.0,
+                        p_hflip=0.5, p_vflip=0.5, p_brightness=0.0,
+                        p_noise=0.0, p_dropout=0.0)
+    out_i, out_m = augment_batch(jnp.asarray(images), jnp.asarray(masks),
+                                 jax.random.key(2), cfg)
+    img = np.asarray(out_i) * 0.5 + 0.5  # denormalize
+    m = np.asarray(out_m)
+    assert m.sum() > 50  # square survived
+    # image>0.5 region should overlap mask region strongly
+    pred = img[..., 0] > 0.5
+    inter = (pred & (m == 1)).sum()
+    union = (pred | (m == 1)).sum()
+    assert inter / union > 0.85
+
+
+def test_augment_changes_are_random_per_sample(rng):
+    images = np.tile(rng.random((1, 32, 32, 1), dtype=np.float32), (4, 1, 1, 1))
+    masks = np.zeros((4, 32, 32), np.int32)
+    cfg = AugmentConfig()  # defaults
+    out_i, _ = augment_batch(jnp.asarray(images), jnp.asarray(masks),
+                             jax.random.key(3), cfg)
+    out = np.asarray(out_i)
+    diffs = [np.abs(out[i] - out[j]).max() for i in range(4)
+             for j in range(i + 1, 4)]
+    assert max(diffs) > 1e-3  # identical inputs augmented differently
+
+
+def test_augment_statistics(rng):
+    """Empirical application rates roughly match configured probabilities
+    (coarse statistical parity with albumentations)."""
+    n = 200
+    images = np.full((n, 16, 16, 1), 0.5, np.float32)
+    masks = np.zeros((n, 16, 16), np.int32)
+    cfg = _identity_cfg().replace(p_noise=0.3)
+    out_i, _ = augment_batch(jnp.asarray(images), jnp.asarray(masks),
+                             jax.random.key(4), cfg)
+    out = np.asarray(out_i) * 0.5 + 0.5
+    noisy = (np.abs(out - 0.5).max(axis=(1, 2, 3)) > 1e-6)
+    rate = noisy.mean()
+    assert 0.2 < rate < 0.4, rate
+
+
+def test_normalize_batch():
+    x = jnp.asarray([[0.0, 0.5, 1.0]])
+    np.testing.assert_allclose(np.asarray(normalize_batch(x)),
+                               [[-1.0, 0.0, 1.0]], atol=1e-6)

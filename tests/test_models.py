@@ -1,0 +1,134 @@
+"""Model parity tests: parameter counts, output contracts, and (when the
+reference repo is mounted) numerical forward parity via weight porting."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from unet_tpu.models import AttentionUNet, UNet, create_model
+
+REF = Path('/root/reference')
+
+# Exact parameter counts of the reference torch models
+# (n_channels=1, n_classes=2, base_features=64), measured once from
+# unet/models/unet.py. BatchNorm running stats are buffers (not params)
+# in both frameworks.
+PARAM_COUNTS = {
+    ('unet', True): 17_261_890,
+    ('unet', False): 31_036_546,
+    ('attention_unet', True): 17_612_458,
+    ('attention_unet', False): 31_561_194,
+}
+ATTENTION_DS_BILINEAR = 17_613_360
+
+
+def _n_params(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+def _init(model, hw=32):
+    x = jnp.zeros((1, hw, hw, model.n_channels), jnp.float32)
+    return model.init(jax.random.key(0), x, train=False)
+
+
+def _init_shapes(model, hw=32):
+    x = jax.ShapeDtypeStruct((1, hw, hw, model.n_channels), jnp.float32)
+    # close over `train` so eval_shape doesn't trace it as a value
+    return jax.eval_shape(lambda k, x: model.init(k, x, train=False),
+                          jax.random.key(0), x)
+
+
+@pytest.mark.parametrize('model_type,bilinear', list(PARAM_COUNTS))
+def test_param_count_parity(model_type, bilinear):
+    model = create_model(model_type, bilinear=bilinear)
+    variables = _init_shapes(model)
+    assert _n_params(variables['params']) == PARAM_COUNTS[(model_type, bilinear)]
+
+
+def test_param_count_deep_supervision():
+    model = AttentionUNet(deep_supervision=True)
+    variables = _init_shapes(model)
+    assert _n_params(variables['params']) == ATTENTION_DS_BILINEAR
+
+
+@pytest.mark.parametrize('model_type', ['unet', 'attention_unet'])
+@pytest.mark.parametrize('bilinear', [True, False])
+def test_output_shape(model_type, bilinear):
+    model = create_model(model_type, bilinear=bilinear, base_features=8)
+    variables = _init_shapes(model, hw=64)
+    x = jax.ShapeDtypeStruct((2, 64, 64, 1), jnp.float32)
+    y = jax.eval_shape(lambda v, x: model.apply(v, x, train=False),
+                       variables, x)
+    assert y.shape == (2, 64, 64, 2)
+    assert y.dtype == jnp.float32
+
+
+def test_deep_supervision_contract():
+    model = AttentionUNet(base_features=8, deep_supervision=True)
+    variables = _init(model, hw=64)
+    x = jnp.ones((2, 64, 64, 1))
+    outs, _ = model.apply(variables, x, train=True,
+                          mutable=['batch_stats'])
+    assert isinstance(outs, tuple) and len(outs) == 4
+    for o in outs:
+        assert o.shape == (2, 64, 64, 2)
+    # eval mode: single tensor (ref unet.py:211)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, 64, 2)
+
+
+def test_batch_stats_updated_in_train_mode():
+    model = UNet(base_features=8)
+    variables = _init(model, hw=32)
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    _, updates = model.apply(variables, x, train=True,
+                             mutable=['batch_stats'])
+    before = jax.tree.leaves(variables['batch_stats'])
+    after = jax.tree.leaves(updates['batch_stats'])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_bf16_compute_path():
+    model = UNet(base_features=8, dtype=jnp.bfloat16)
+    variables = _init(model, hw=32)
+    x = jnp.ones((1, 32, 32, 1), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.dtype == jnp.float32  # logits promoted back to f32
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.skipif(not REF.exists(), reason='reference repo not mounted')
+@pytest.mark.parametrize('model_type,bilinear', [
+    ('unet', True), ('unet', False),
+    ('attention_unet', True), ('attention_unet', False),
+])
+def test_forward_parity_with_reference(model_type, bilinear, rng):
+    """Port reference torch weights into the flax model and compare logits."""
+    torch = pytest.importorskip('torch')
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    from unet.models import UNet as TUNet, AttentionUNet as TAttentionUNet
+    from unet_tpu.utils.torch_port import convert_torch_state_dict
+
+    tcls = TUNet if model_type == 'unet' else TAttentionUNet
+    tmodel = tcls(n_channels=1, n_classes=2, bilinear=bilinear,
+                  base_features=8)
+    tmodel.eval()
+
+    model = create_model(model_type, bilinear=bilinear, base_features=8)
+    variables = _init(model, hw=48)
+    variables = convert_torch_state_dict(tmodel.state_dict(), variables)
+
+    x = rng.standard_normal((2, 48, 48, 1), dtype=np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    want = want.permute(0, 2, 3, 1).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    # tolerance: XLA-CPU and torch convs use different reduction orders, so
+    # fp32 noise of O(1e-4) accumulates across the 23-conv stack; wiring
+    # errors would produce O(1) differences.
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)

@@ -1,0 +1,58 @@
+"""Golden tests: align-corners resize vs torch.nn.functional.interpolate."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from unet_tpu.ops.resize import (
+    pad_to_match,
+    resize_bilinear_align_corners,
+    resize_nearest,
+    upsample2x_align_corners,
+)
+
+torch = pytest.importorskip('torch')
+import torch.nn.functional as F  # noqa: E402
+
+
+@pytest.mark.parametrize('in_hw,out_hw', [
+    ((8, 8), (16, 16)),     # 2x upsample
+    ((7, 9), (14, 18)),     # odd sizes 2x
+    ((16, 16), (5, 11)),    # downsample
+    ((32, 32), (512, 512)), # big upsample
+    ((1, 4), (3, 8)),       # degenerate H
+])
+def test_bilinear_align_corners_matches_torch(in_hw, out_hw, rng):
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), *out_hw))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(xt, size=out_hw, mode='bilinear',
+                         align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upsample2x_matches_torch_upsample(rng):
+    x = rng.standard_normal((1, 13, 17, 4), dtype=np.float32)
+    got = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(xt, scale_factor=2, mode='bilinear',
+                         align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_matches_pil_convention(rng):
+    from PIL import Image
+    m = (rng.random((15, 21)) > 0.5).astype(np.uint8)
+    got = np.asarray(resize_nearest(jnp.asarray(m[None, :, :, None]), 8, 8))
+    want = np.array(Image.fromarray(m).resize((8, 8), Image.NEAREST))
+    np.testing.assert_array_equal(got[0, :, :, 0], want)
+
+
+def test_pad_to_match_splits_like_torch_fpad(rng):
+    x = rng.standard_normal((1, 5, 6, 2), dtype=np.float32)
+    got = np.asarray(pad_to_match(jnp.asarray(x), 8, 9))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    dw, dh = 9 - 6, 8 - 5
+    want = F.pad(xt, [dw // 2, dw - dw // 2, dh // 2, dh - dh // 2])
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,17 @@
+from unet_tpu.data.augmentations import (
+    AugmentConfig,
+    augment_batch,
+    normalize_batch,
+)
+from unet_tpu.data.dataset import (
+    BatchLoader,
+    SliceDataset,
+    SyntheticSliceDataset,
+    prefetch_to_device,
+    volume_split,
+)
+
+__all__ = [
+    'SliceDataset', 'SyntheticSliceDataset', 'BatchLoader', 'volume_split',
+    'prefetch_to_device', 'AugmentConfig', 'augment_batch', 'normalize_batch',
+]

@@ -1,0 +1,103 @@
+"""Resize ops with PyTorch ``align_corners=True`` semantics, NHWC layout.
+
+The reference model uses ``nn.Upsample(scale_factor=2, mode='bilinear',
+align_corners=True)`` and ``F.interpolate(..., align_corners=True)``
+throughout (reference: unet/models/layers.py:78,183,212 and
+unet/models/unet.py:206-208). ``jax.image.resize`` implements half-pixel
+(align_corners=False) sampling only, so we implement align-corners sampling
+directly as two separable gather+lerp passes. Index/weight tables are
+computed at trace time with numpy (static shapes), so XLA sees constant
+gathers that fuse with the surrounding elementwise work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _ac_lerp_tables(in_size: int, out_size: int):
+    """Index + weight tables for 1-D align-corners linear interpolation.
+
+    Returns (idx0, idx1, w1) as numpy arrays; out[i] = in[idx0[i]]*(1-w1[i])
+    + in[idx1[i]]*w1[i]. Matches torch's align_corners=True coordinate map
+    ``src = i * (in_size-1)/(out_size-1)``.
+    """
+    if out_size == 1:
+        return (np.zeros(1, np.int32), np.zeros(1, np.int32),
+                np.zeros(1, np.float32))
+    scale = (in_size - 1) / (out_size - 1)
+    coords = np.arange(out_size, dtype=np.float64) * scale
+    idx0 = np.clip(np.floor(coords), 0, in_size - 1).astype(np.int32)
+    idx1 = np.minimum(idx0 + 1, in_size - 1).astype(np.int32)
+    w1 = (coords - idx0).astype(np.float32)
+    return idx0, idx1, w1
+
+
+def _lerp_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx0, idx1, w1 = _ac_lerp_tables(in_size, out_size)
+    x0 = jnp.take(x, jnp.asarray(idx0), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(idx1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(w1, dtype=x.dtype).reshape(shape)
+    return x0 + (x1 - x0) * w
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
+                                  out_w: int) -> jnp.ndarray:
+    """Bilinear align-corners resize of an NHWC (or NHW1/NHW) tensor.
+
+    Equivalent to ``F.interpolate(x_nchw, (out_h, out_w), mode='bilinear',
+    align_corners=True)`` modulo layout.
+    """
+    h_axis = 1 if x.ndim >= 3 else 0
+    x = _lerp_axis(x, out_h, h_axis)
+    x = _lerp_axis(x, out_w, h_axis + 1)
+    return x
+
+
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear align-corners upsample of NHWC, as used by Up/AttentionUp
+    (reference: unet/models/layers.py:78,212)."""
+    n, h, w, c = x.shape
+    return resize_bilinear_align_corners(x, 2 * h, 2 * w)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_tables_pil(in_size: int, out_size: int):
+    """PIL NEAREST index table (pixel-center convention):
+    floor((i + 0.5) * in/out)."""
+    idx = np.floor((np.arange(out_size, dtype=np.float64) + 0.5) * in_size /
+                   out_size).astype(np.int32)
+    return np.clip(idx, 0, in_size - 1)
+
+
+def resize_nearest(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Nearest-neighbour resize (floor convention, matches PIL NEAREST as
+    used for masks in reference predict.py:163 and augmentations.py:153)."""
+    h_axis = 1 if x.ndim >= 3 else 0
+    if x.shape[h_axis] != out_h:
+        x = jnp.take(x, jnp.asarray(_nearest_tables_pil(x.shape[h_axis],
+                                                        out_h)), axis=h_axis)
+    if x.shape[h_axis + 1] != out_w:
+        x = jnp.take(x, jnp.asarray(_nearest_tables_pil(
+            x.shape[h_axis + 1], out_w)), axis=h_axis + 1)
+    return x
+
+
+def pad_to_match(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """Zero-pad NHWC spatial dims to (target_h, target_w), splitting the
+    difference like F.pad in reference layers.py:101-102 (left = diff//2)."""
+    dh = target_h - x.shape[1]
+    dw = target_w - x.shape[2]
+    if dh == 0 and dw == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (dh // 2, dh - dh // 2),
+                       (dw // 2, dw - dw // 2), (0, 0)))

@@ -1,0 +1,172 @@
+"""Training callbacks: early stopping + Orbax checkpoint management.
+
+Reference counterparts: EarlyStopping (unet/utils/callbacks.py:15-91) and
+ModelCheckpoint (callbacks.py:94-238, saving ``last.pt`` each epoch and
+``best.pt`` on monitored improvement, payload = epoch + model/optimizer/
+scheduler state + metrics + full config, with nested metric keys like
+``class_dice.tumor``).
+
+TPU-native redesign: checkpoints are Orbax directories (async-safe,
+preemption-friendly — the "failure detection" story from SURVEY.md §5 is
+auto-resume from ``last``), the config/metrics/epoch are stored as JSON
+next to the tensors so ``predict`` can rebuild the architecture without
+knowing the training pytree structure, and the "model" (params +
+batch_stats of whichever weights were validated — EMA after warmup) is
+saved separately from the full train state.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAS_ORBAX = False
+
+from unet_tpu.utils.config import get_nested_metric
+
+
+class EarlyStopping:
+    """Stop when the monitored score stops improving
+    (ref callbacks.py:15-91)."""
+
+    def __init__(self, patience: int = 20, mode: str = 'max',
+                 min_delta: float = 0.0):
+        if mode not in ('min', 'max'):
+            raise ValueError(f'mode must be min or max, got {mode}')
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.reset()
+
+    def reset(self) -> None:
+        self.best = -math.inf if self.mode == 'max' else math.inf
+        self.counter = 0
+        self.stopped = False
+
+    def _improved(self, score: float) -> bool:
+        if self.mode == 'max':
+            return score > self.best + self.min_delta
+        return score < self.best - self.min_delta
+
+    def __call__(self, score: float) -> bool:
+        if self._improved(score):
+            self.best = score
+            self.counter = 0
+            return False
+        self.counter += 1
+        if self.counter >= self.patience:
+            self.stopped = True
+            return True
+        return False
+
+    def state_dict(self) -> Dict:
+        return {'best': self.best, 'counter': self.counter,
+                'stopped': self.stopped}
+
+    def load_state_dict(self, s: Dict) -> None:
+        self.best, self.counter = s['best'], s['counter']
+        self.stopped = s.get('stopped', False)
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree.map(np.asarray, tree)
+
+
+class CheckpointManager:
+    """Saves ``last`` every epoch and ``best`` on monitored improvement
+    (ref callbacks.py:158-214). Layout::
+
+        save_dir/
+          last/  state/   (orbax pytree: full TrainState)
+                 model/   (orbax pytree: {'params', 'batch_stats'})
+                 meta.json (epoch, metrics, config, scheduler, monitor)
+          best/  ...same...
+    """
+
+    def __init__(self, save_dir, monitor: str = 'class_dice.tumor',
+                 mode: str = 'max', save_last: bool = True,
+                 save_best: bool = True):
+        if not _HAS_ORBAX:
+            raise ImportError('orbax-checkpoint is required')
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_last = save_last
+        self.save_best = save_best
+        self.best_value = -math.inf if mode == 'max' else math.inf
+        self.best_epoch = -1
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _write(self, name: str, state: Any, model_vars: Dict, epoch: int,
+               metrics: Dict, config: Optional[Dict],
+               scheduler_state: Optional[Dict]) -> None:
+        path = (self.save_dir / name).resolve()
+        path.mkdir(parents=True, exist_ok=True)
+        # orbax's save is itself atomic (tmp dir + rename); force=True
+        # overwrites the previous epoch's checkpoint.
+        self._ckptr.save(path / 'state', _to_host(state), force=True)
+        self._ckptr.save(path / 'model', _to_host(model_vars), force=True)
+        meta = {
+            'epoch': int(epoch),
+            'metrics': metrics,
+            'config': config,
+            'scheduler': scheduler_state,
+            'monitor': self.monitor,
+            'monitor_value': get_nested_metric(metrics, self.monitor),
+        }
+        (path / 'meta.json').write_text(json.dumps(meta, default=float))
+
+    def save(self, state: Any, model_vars: Dict, epoch: int, metrics: Dict,
+             config: Optional[Dict] = None,
+             scheduler_state: Optional[Dict] = None) -> bool:
+        """Returns True when this epoch improved the monitored metric."""
+        if self.save_last:
+            self._write('last', state, model_vars, epoch, metrics, config,
+                        scheduler_state)
+        value = get_nested_metric(metrics, self.monitor)
+        improved = (value > self.best_value if self.mode == 'max'
+                    else value < self.best_value)
+        if improved:
+            self.best_value = value
+            self.best_epoch = epoch
+            if self.save_best:
+                self._write('best', state, model_vars, epoch, metrics,
+                            config, scheduler_state)
+        return improved
+
+    # ---- restore ----
+    @staticmethod
+    def read_meta(path) -> Dict:
+        return json.loads((Path(path) / 'meta.json').read_text())
+
+    @staticmethod
+    def restore_model(path, target: Optional[Dict] = None) -> Dict:
+        """Restore {'params', 'batch_stats'} for inference. ``target``
+        (an abstract/concrete template) is optional."""
+        ckptr = ocp.StandardCheckpointer()
+        p = (Path(path) / 'model').resolve()
+        if target is None:
+            return ckptr.restore(p)
+        return ckptr.restore(p, target=jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), target))
+
+    @staticmethod
+    def restore_state(path, target: Any) -> Any:
+        """Restore the full TrainState given a template with the right
+        pytree structure (from init_train_state)."""
+        ckptr = ocp.StandardCheckpointer()
+        p = (Path(path) / 'state').resolve()
+        return ckptr.restore(p, target=jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            target))

@@ -1,0 +1,200 @@
+"""Jitted training/eval steps: grad accumulation, EMA, on-device metrics.
+
+TPU-native re-design of the reference hot loop (scripts/train.py:103-197):
+
+* One jitted ``train_step`` consumes a *super-batch* of
+  ``accumulation_steps`` microbatches shaped (A, B, H, W, C) and performs
+  the whole accumulate->clip->AdamW->EMA sequence on device via
+  ``lax.scan`` — the reference's per-microbatch Python loop
+  (train.py:127-150) collapses into one XLA program, so HBM traffic and
+  launch overhead vanish.
+* Loss math runs in float32 on bf16 forward activations; parameters and
+  optimizer state stay float32.
+* A per-microbatch mask replicates the reference's leftover-flush
+  semantics (train.py:153-159: when the epoch length isn't divisible by
+  accumulation_steps, the tail still steps the optimizer with fewer
+  accumulated grads, each already divided by accumulation_steps).
+* BatchNorm running stats update on every real microbatch, like the
+  reference's per-forward update.
+* EMA follows unet/utils/general.py:110-198: constant decay (the
+  reference's ramp only applies when warmup_steps > 0, which train.py
+  never sets), params blended, BN buffers copied directly.
+* ``eval_step`` returns (loss_sum, confusion_matrix) so the host only
+  touches a (C, C) int matrix per epoch — the reference's per-pixel
+  Python metrics loop (metrics.py:82-84) is gone.
+
+Under GSPMD the same steps scale to a multi-chip ``data`` mesh unchanged:
+batches are sharded on the microbatch axis, XLA inserts gradient/BN-stat
+all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from unet_tpu.train.metrics import confusion_matrix_update
+
+Array = jax.Array
+
+
+class EmaState(struct.PyTreeNode):
+    """Functional EMA shadow (ref unet/utils/general.py:110-198)."""
+    params: Any
+    batch_stats: Any
+    updates: Array  # int32 scalar
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array  # int32 scalar (optimizer steps taken)
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Optional[EmaState] = None
+
+
+def create_optimizer(lr: float, weight_decay: float = 1e-4,
+                     grad_clip: float = 1.0) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping (ref train.py:139-141, 346-350).
+    The learning rate is injected so the host can set it per epoch, which
+    reproduces the reference's per-epoch scheduler stepping."""
+    def make(learning_rate):
+        steps = []
+        if grad_clip and grad_clip > 0:
+            steps.append(optax.clip_by_global_norm(grad_clip))
+        steps.append(optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                                 weight_decay=weight_decay))
+        return optax.chain(*steps)
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def init_train_state(model, rng: Array, sample_input: Array,
+                     tx: optax.GradientTransformation,
+                     use_ema: bool = False) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    ema = EmaState(params=params, batch_stats=batch_stats,
+                   updates=jnp.zeros((), jnp.int32)) if use_ema else None
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params),
+                      ema=ema)
+
+
+def ema_update(ema: EmaState, params: Any, batch_stats: Any,
+               decay: float, warmup_steps: int = 0) -> EmaState:
+    """One EMA update (ref general.py:156-184): optional early ramp
+    min(decay, (1+u)/(10+u)), params blended, buffers copied."""
+    updates = ema.updates + 1
+    if warmup_steps > 0:
+        d = jnp.where(updates <= warmup_steps,
+                      jnp.minimum(decay, (1.0 + updates) / (10.0 + updates)),
+                      decay).astype(jnp.float32)
+    else:
+        d = jnp.float32(decay)
+    new_params = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                              ema.params, params)
+    return EmaState(params=new_params, batch_stats=batch_stats,
+                    updates=updates)
+
+
+def ema_reinit(state: TrainState) -> TrainState:
+    """Re-initialize EMA from the live model at the warmup transition
+    epoch (ref train.py:464-467) and reset its update counter."""
+    return state.replace(ema=EmaState(params=state.params,
+                                      batch_stats=state.batch_stats,
+                                      updates=jnp.zeros((), jnp.int32)))
+
+
+def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
+                    accum_steps: int, ema_decay: float = 0.99,
+                    use_ema: bool = False) -> Callable:
+    """Build the jitted super-batch train step.
+
+    Returned fn signature:
+      train_step(state, images, masks, lr, mb_mask) -> (state, loss_sum)
+    where images (A, B, H, W, C) float32, masks (A, B, H, W) int32,
+    lr scalar float32, mb_mask (A,) float32 in {0, 1} marking real
+    microbatches. loss_sum is the sum of per-microbatch losses (the host
+    divides by the number of real microbatches per epoch, matching ref
+    train.py:161).
+    """
+
+    def micro(params, batch_stats, img, msk):
+        def loss_of(p):
+            outs, mut = model.apply(
+                {'params': p, 'batch_stats': batch_stats}, img, train=True,
+                mutable=['batch_stats'])
+            return loss_fn(outs, msk), mut['batch_stats']
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        return loss, grads, new_stats
+
+    def train_step(state: TrainState, images: Array, masks: Array,
+                   lr: Array, mb_mask: Array):
+        def body(carry, xs):
+            gsum, stats, lsum = carry
+            img, msk, m = xs
+            loss, grads, new_stats = micro(state.params, stats, img, msk)
+            gsum = jax.tree.map(lambda a, g: a + m * g, gsum, grads)
+            stats = jax.tree.map(lambda o, n: jnp.where(m > 0, n, o),
+                                 stats, new_stats)
+            return (gsum, stats, lsum + m * loss), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (gsum, batch_stats, loss_sum), _ = jax.lax.scan(
+            body, (zeros, state.batch_stats, jnp.float32(0.0)),
+            (images, masks, mb_mask))
+        grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema = state.ema
+        if use_ema and ema is not None:
+            ema = ema_update(ema, params, batch_stats, ema_decay)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=batch_stats, opt_state=opt_state,
+                             ema=ema), loss_sum
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn: Callable, num_classes: int) -> Callable:
+    """eval_step(params, batch_stats, images, masks)
+    -> (loss, confusion_matrix). Ref scripts/train.py:164-197."""
+
+    def eval_step(params, batch_stats, images: Array, masks: Array):
+        logits = model.apply({'params': params, 'batch_stats': batch_stats},
+                             images, train=False)
+        loss = loss_fn(logits, masks)
+        cm = confusion_matrix_update(logits, masks, num_classes)
+        return loss, cm
+
+    return eval_step
+
+
+def make_predict_step(model) -> Callable:
+    """predict_step(params, batch_stats, images) -> softmax probs NHWC."""
+
+    def predict_step(params, batch_stats, images: Array):
+        logits = model.apply({'params': params, 'batch_stats': batch_stats},
+                             images, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return predict_step
+
+
+def group_into_superbatches(n_batches: int, accum_steps: int):
+    """Yield (start, count) index groups covering n_batches in chunks of
+    accum_steps; the final group may be shorter (leftover flush,
+    ref train.py:153-159)."""
+    for start in range(0, n_batches, accum_steps):
+        yield start, min(accum_steps, n_batches - start)

@@ -1,0 +1,106 @@
+"""Import PyTorch reference checkpoints into unet_tpu Flax variables.
+
+Lets users of the reference project (seagochen/unet-segment-pytorch) carry
+their trained ``.pt`` checkpoints over to this framework, and powers the
+numerical parity tests. Works on plain state-dict mappings (no torch
+import needed if the state dict is already numpy).
+
+Name mapping (reference unet/models/layers.py + unet.py -> unet_tpu):
+  inc.double_conv.{0,1,3,4}        -> inc/{conv1,bn1,conv2,bn2}
+  downN.maxpool_conv.1.double_conv -> downN/conv/...
+  upN.conv.double_conv             -> upN/conv/...
+  upN.up (ConvTranspose2d)         -> upN/up
+  upN.attention.{W_g.0,W_g.1}      -> upN/attention/{w_g,bn_g}
+  upN.attention.{W_x.0,W_x.1}      -> upN/attention/{w_x,bn_x}
+  upN.attention.{psi.0,psi.1}      -> upN/attention/{psi,bn_psi}
+  outc.conv / ds_outN.conv         -> outc/conv, ds_outN/conv
+Tensor layout: conv OIHW -> HWIO; conv-transpose IOHW -> HWIO with the
+spatial taps flipped (torch's transposed conv is the adjoint of a
+correlation; lax.conv_transpose realises it as a convolution, so the
+2x2 taps land mirrored).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+from flax.core import freeze
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+_DC = {'conv1': '0', 'bn1': '1', 'conv2': '3', 'bn2': '4'}
+_ATT = {'w_g': 'W_g.0', 'bn_g': 'W_g.1', 'w_x': 'W_x.0', 'bn_x': 'W_x.1',
+        'psi': 'psi.0', 'bn_psi': 'psi.1'}
+
+
+def _torch_prefix(path) -> str:
+    """Translate a flax module path (up to the leaf module) to the torch
+    parameter prefix."""
+    parts = list(path)
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == 'inc':
+            out.append('inc.double_conv')
+        elif p.startswith('down') and parts[i + 1] == 'conv':
+            out.append(f'{p}.maxpool_conv.1.double_conv')
+            i += 1
+        elif p.startswith('up') and i + 1 < len(parts) and parts[i + 1] == 'conv':
+            out.append(f'{p}.conv.double_conv')
+            i += 1
+        elif p.startswith('up') and i + 1 < len(parts) and parts[i + 1] == 'up':
+            out.append(f'{p}.up')
+            i += 1
+        elif p == 'attention':
+            sub = parts[i + 1]
+            out.append(f'attention.{_ATT[sub]}')
+            i += 1
+        elif p in _DC:
+            out.append(_DC[p])
+        elif p == 'conv' and i == len(parts) - 1:
+            out.append('conv')
+        else:
+            out.append(p)
+        i += 1
+    return '.'.join(out)
+
+
+def _leaf_to_torch(prefix: str, leaf: str, is_transpose: bool,
+                   state: Mapping[str, Any]) -> np.ndarray:
+    names = {'kernel': 'weight', 'scale': 'weight', 'bias': 'bias',
+             'mean': 'running_mean', 'var': 'running_var'}
+    t = state[f'{prefix}.{names[leaf]}']
+    arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, 'detach') else t)
+    if leaf == 'kernel':
+        if is_transpose:  # torch ConvTranspose2d weight is (I, O, kh, kw)
+            arr = arr.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+        else:             # torch Conv2d weight is (O, I, kh, kw)
+            arr = arr.transpose(2, 3, 1, 0)
+    return arr
+
+
+def convert_torch_state_dict(state_dict: Mapping[str, Any],
+                             variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Fill a flax variables template (from ``model.init``) with tensors
+    from a reference torch ``state_dict``. Returns plain nested dicts with
+    the same structure: {'params': ..., 'batch_stats': ...}.
+    """
+    out = {}
+    for coll in ('params', 'batch_stats'):
+        if coll not in variables:
+            continue
+        flat = flatten_dict(dict(variables[coll]))
+        new_flat = {}
+        for path, template in flat.items():
+            *mods, leaf = path
+            prefix = _torch_prefix(tuple(mods))
+            is_tr = mods[-1] == 'up'
+            arr = _leaf_to_torch(prefix, leaf, is_tr, state_dict)
+            if arr.shape != tuple(template.shape):
+                raise ValueError(
+                    f'shape mismatch at {path}: torch {arr.shape} vs '
+                    f'flax {tuple(template.shape)}')
+            new_flat[path] = arr.astype(np.asarray(template).dtype)
+        out[coll] = unflatten_dict(new_flat)
+    return freeze(out).unfreeze()
