@@ -56,3 +56,19 @@ def test_pad_to_match_splits_like_torch_fpad(rng):
     want = F.pad(xt, [dw // 2, dw - dw // 2, dh // 2, dh - dh // 2])
     want = want.permute(0, 2, 3, 1).numpy()
     np.testing.assert_array_equal(got, want)
+
+
+def test_lerp_axis_custom_vjp_matches_autodiff(rng):
+    """The gather-based custom backward must equal autodiff of the raw
+    forward (which would lower to scatter-add)."""
+    import jax
+    from unet_tpu.ops.resize import _lerp_axis, _lerp_axis_fwd_impl
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, 3), dtype=np.float32))
+    for axis, out in ((1, 18), (2, 14), (1, 5)):
+        f_custom = lambda v: jnp.sum(jnp.sin(_lerp_axis(v, out, axis)))
+        f_raw = lambda v: jnp.sum(jnp.sin(_lerp_axis_fwd_impl(v, out, axis)))
+        g_custom = jax.grad(f_custom)(x)
+        g_raw = jax.grad(f_raw)(x)
+        np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_raw),
+                                   rtol=1e-5, atol=1e-6)

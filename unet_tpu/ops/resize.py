@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -37,7 +38,41 @@ def _ac_lerp_tables(in_size: int, out_size: int):
     return idx0, idx1, w1
 
 
+@functools.lru_cache(maxsize=None)
+def _ac_lerp_transpose_tables(in_size: int, out_size: int):
+    """Transpose of the align-corners lerp as gather tables.
+
+    The VJP of ``y[i] = (1-w[i])*x[idx0[i]] + w[i]*x[idx1[i]]`` is a
+    scatter-add into x — which lowers to slow serialized scatters on
+    TPU. Because the tables are static we can invert them at trace time:
+    for each input index j, the (bounded) list of output indices that
+    read it and their weights. The backward pass then becomes plain
+    gathers: ``dx[j] = sum_k wt[j,k] * dy[oidx[j,k]]``.
+
+    Returns (oidx (in_size, k) int32, wt (in_size, k) float32).
+    """
+    idx0, idx1, w1 = _ac_lerp_tables(in_size, out_size)
+    contrib = [[] for _ in range(in_size)]
+    for i in range(out_size):
+        w = float(w1[i])
+        contrib[int(idx0[i])].append((i, 1.0 - w))
+        contrib[int(idx1[i])].append((i, w))
+    k = max(len(c) for c in contrib)
+    oidx = np.zeros((in_size, k), np.int32)
+    wt = np.zeros((in_size, k), np.float32)
+    for j, c in enumerate(contrib):
+        for t, (i, w) in enumerate(c):
+            oidx[j, t] = i
+            wt[j, t] = w
+    return oidx, wt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _lerp_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    return _lerp_axis_fwd_impl(x, out_size, axis)
+
+
+def _lerp_axis_fwd_impl(x: jnp.ndarray, out_size: int, axis: int):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
@@ -48,6 +83,28 @@ def _lerp_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
     shape[axis] = out_size
     w = jnp.asarray(w1, dtype=x.dtype).reshape(shape)
     return x0 + (x1 - x0) * w
+
+
+def _lerp_axis_fwd(x, out_size, axis):
+    return _lerp_axis_fwd_impl(x, out_size, axis), x.shape[axis]
+
+
+def _lerp_axis_bwd(out_size, axis, in_size, g):
+    if in_size == out_size:
+        return (g,)
+    oidx, wt = _ac_lerp_transpose_tables(in_size, out_size)
+    k = oidx.shape[1]
+    shape = [1] * g.ndim
+    shape[axis] = in_size
+    dx = None
+    for t in range(k):
+        gt = jnp.take(g, jnp.asarray(oidx[:, t]), axis=axis)
+        wv = jnp.asarray(wt[:, t], dtype=g.dtype).reshape(shape)
+        dx = gt * wv if dx is None else dx + gt * wv
+    return (dx,)
+
+
+_lerp_axis.defvjp(_lerp_axis_fwd, _lerp_axis_bwd)
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
