@@ -1,190 +1,11 @@
 #!/usr/bin/env python
-"""Inference CLI for lung-tumor segmentation on TPU.
-
-Flag-compatible with the reference scripts/predict.py:40-55
-(--weights --source --output --img-size --threshold --device
---save-overlay --no-save-mask; note --img-size defaults to 256 like the
-reference even though training defaults to 512 — pass 512 explicitly for
-checkpoints trained at 512). The model architecture is rebuilt from the
-config embedded in the checkpoint (ref predict.py:71-97).
-
-TPU-native redesign of the hot path: the reference runs batch-size-1
-sequential inference (predict.py:284-309); here the whole source
-directory is batched to a fixed shape (--batch-size, default 8) so one
-compiled program streams through the TPU, with softmax+threshold on
-device and only uint8 masks returned to host. Original-size restore is
-NEAREST on host (ref predict.py:163).
-"""
-
-import argparse
+"""Thin wrapper; implementation in unet_tpu.cli.predict."""
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
-
-
-def parse_args():
-    p = argparse.ArgumentParser(description='Predict tumor segmentation')
-    p.add_argument('--weights', type=str, required=True,
-                   help='checkpoint dir (e.g. runs/exp/weights/best)')
-    p.add_argument('--source', type=str, required=True,
-                   help='image file or directory of png/jpg')
-    p.add_argument('--output', type=str, default='predictions')
-    p.add_argument('--img-size', type=int, default=256,
-                   help='network input size (use the training size!)')
-    p.add_argument('--threshold', type=float, default=0.5)
-    p.add_argument('--device', type=str, default=None)
-    p.add_argument('--save-overlay', action='store_true')
-    p.add_argument('--no-save-mask', action='store_true')
-    p.add_argument('--batch-size', type=int, default=8,
-                   help='TPU batch size for directory inference')
-    return p.parse_args()
-
-
-def load_model(weights_dir, dtype=None):
-    """Rebuild architecture from checkpoint-embedded config and restore
-    weights (ref predict.py:60-97)."""
-    import jax.numpy as jnp
-    from unet_tpu.models import create_model
-    from unet_tpu.train.callbacks import CheckpointManager
-
-    meta = CheckpointManager.read_meta(weights_dir)
-    cfg = (meta.get('config') or {})
-    mcfg = cfg.get('model', {})
-    mtype = mcfg.get('type', 'unet').lower()
-    if mtype == 'attention':
-        mtype = 'attention_unet'
-    if dtype is None:
-        dtype = jnp.bfloat16 if cfg.get('tpu', {}).get(
-            'compute_dtype', 'bfloat16') == 'bfloat16' else jnp.float32
-    model = create_model(
-        mtype,
-        n_channels=mcfg.get('n_channels', 1),
-        n_classes=mcfg.get('n_classes', 2),
-        bilinear=mcfg.get('bilinear', True),
-        base_features=mcfg.get('base_features', 64),
-        deep_supervision=mcfg.get('deep_supervision', False),
-        dtype=dtype)
-    variables = CheckpointManager.restore_model(weights_dir)
-    return model, variables, meta
-
-
-def preprocess_image(path, img_size):
-    """PIL 'L' -> bilinear resize -> [0,1] -> (x-0.5)/0.5
-    (ref predict.py:100-135). Returns (array (H,W,1) f32, original size)."""
-    from PIL import Image
-    img = Image.open(path).convert('L')
-    orig_size = img.size  # (W, H)
-    if img.size != (img_size, img_size):
-        img = img.resize((img_size, img_size), Image.BILINEAR)
-    x = np.asarray(img, np.float32) / 255.0
-    x = (x - 0.5) / 0.5
-    return x[..., None], orig_size
-
-
-def postprocess_mask(prob_tumor, threshold, orig_size):
-    """prob > threshold -> uint8 {0,255} -> NEAREST resize to original
-    (ref predict.py:138-165)."""
-    from PIL import Image
-    mask = (np.asarray(prob_tumor) > threshold).astype(np.uint8) * 255
-    m = Image.fromarray(mask)
-    if m.size != orig_size:
-        m = m.resize(orig_size, Image.NEAREST)
-    return np.asarray(m)
-
-
-def create_overlay(image_path, mask, alpha=0.4):
-    """Red alpha blend of the predicted mask over the original image
-    (ref predict.py:168-203)."""
-    from PIL import Image
-    img = np.asarray(Image.open(image_path).convert('RGB'), np.float32)
-    m = mask > 127
-    img[m] = (1 - alpha) * img[m] + alpha * np.array([255.0, 0.0, 0.0])
-    return Image.fromarray(img.astype(np.uint8))
-
-
-def gather_sources(source):
-    source = Path(source)
-    if source.is_file():
-        return [source]
-    if source.is_dir():
-        files = sorted(list(source.glob('*.png')) + list(source.glob('*.jpg')))
-        if not files:
-            raise ValueError(f'No png/jpg images found in {source}')
-        return files
-    raise FileNotFoundError(f'Source not found: {source}')
-
-
-def main():
-    args = parse_args()
-    import os
-    if (args.device or '').lower() == 'cpu':
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-        os.environ['JAX_PLATFORM_NAME'] = 'cpu'
-
-    import jax
-    import jax.numpy as jnp
-    from unet_tpu.train.trainer import make_predict_step
-
-    model, variables, meta = load_model(args.weights)
-    predict_step = jax.jit(make_predict_step(model))
-    print(f"Loaded model from {args.weights} "
-          f"(epoch {meta.get('epoch', '?')})")
-
-    files = gather_sources(args.source)
-    out_dir = Path(args.output)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    bs = max(1, args.batch_size)
-
-    n_with_tumor, coverages, n_failed = 0, [], 0
-    for start in range(0, len(files), bs):
-        chunk = files[start:start + bs]
-        batch, metas = [], []
-        for f in chunk:
-            try:
-                x, orig = preprocess_image(f, args.img_size)
-                batch.append(x)
-                metas.append((f, orig))
-            except Exception as e:  # per-image skip (ref predict.py:311)
-                print(f'  skip {f.name}: {e}')
-                n_failed += 1
-        if not batch:
-            continue
-        n_real = len(batch)
-        while len(batch) < bs:  # pad to the compiled batch shape
-            batch.append(batch[-1])
-        probs = predict_step(variables['params'], variables['batch_stats'],
-                             jnp.asarray(np.stack(batch)))
-        tumor_prob = np.asarray(probs[..., 1])  # (bs, H, W)
-
-        for i in range(n_real):
-            f, orig = metas[i]
-            mask = postprocess_mask(tumor_prob[i], args.threshold, orig)
-            tumor_px = int((mask > 127).sum())
-            total_px = mask.size
-            if tumor_px > 0:
-                n_with_tumor += 1
-            coverages.append(tumor_px / total_px)
-            if not args.no_save_mask:
-                from PIL import Image
-                Image.fromarray(mask).save(out_dir / f'{f.stem}_mask.png')
-            if args.save_overlay:
-                create_overlay(f, mask).save(
-                    out_dir / f'{f.stem}_overlay.png')
-            print(f'  {f.name}: tumor coverage '
-                  f'{100.0 * tumor_px / total_px:.2f}%')
-
-    n_done = len(coverages)
-    print(f'\nProcessed {n_done}/{len(files)} images '
-          f'({n_failed} failed)')
-    if n_done:
-        print(f'Images with tumor: {n_with_tumor} '
-              f'({100.0 * n_with_tumor / n_done:.1f}%)')
-        print(f'Average tumor coverage: {100.0 * float(np.mean(coverages)):.2f}%')
-    print(f'Results saved to: {out_dir}')
-
+from unet_tpu.cli.predict import main
 
 if __name__ == '__main__':
     main()

@@ -1,425 +1,12 @@
 #!/usr/bin/env python
-"""Train UNet / Attention U-Net for lung-tumor segmentation on TPU.
-
-Flag-for-flag compatible with the reference CLI (reference
-scripts/train.py:61-100): --config --data --img-size --batch-size
---workers --epochs --lr --resume --name --project --device, plus TPU
-extensions (--synthetic for a dataset-free smoke run).
-
-TPU-native execution model (vs the reference's eager per-batch loop,
-train.py:103-161):
-  * one jitted super-batch step does accumulate+clip+AdamW+EMA on device
-  * augmentation runs batched on device (unet_tpu.data.augmentations)
-  * eval streams an on-device confusion matrix; only (C, C) ints hit host
-  * batches are sharded over a `data` mesh (GSPMD); params replicated
-  * checkpoints via Orbax (last/best, config embedded; resume supported)
-"""
-
-import argparse
+"""Thin wrapper so `python scripts/train.py` keeps working like the
+reference layout; the implementation lives in unet_tpu.cli.train."""
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
-
-
-def parse_args():
-    p = argparse.ArgumentParser(description='Train lung tumor segmentation')
-    p.add_argument('--config', type=str,
-                   default='configs/lung_tumor.yaml')
-    p.add_argument('--data', type=str, default=None,
-                   help='dataset root (overrides config)')
-    p.add_argument('--img-size', type=int, default=None)
-    p.add_argument('--batch-size', type=int, default=None)
-    p.add_argument('--workers', type=int, default=None)
-    p.add_argument('--epochs', type=int, default=None)
-    p.add_argument('--lr', type=float, default=None)
-    p.add_argument('--resume', type=str, default=None,
-                   help='checkpoint dir (e.g. runs/exp/weights/last)')
-    p.add_argument('--name', type=str, default=None)
-    p.add_argument('--project', type=str, default=None)
-    p.add_argument('--device', type=str, default=None,
-                   help='"cpu" forces the CPU backend')
-    p.add_argument('--synthetic', action='store_true',
-                   help='use a synthetic dataset (no files needed)')
-    return p.parse_args()
-
-
-def apply_overrides(config, args):
-    """CLI-over-YAML override merge (ref train.py:208-225)."""
-    if args.data:
-        config['data']['root'] = args.data
-    if args.img_size:
-        config['data']['img_size'] = args.img_size
-    if args.batch_size:
-        config['data']['batch_size'] = args.batch_size
-    if args.workers:
-        config['data']['num_workers'] = args.workers
-    if args.epochs:
-        config['train']['epochs'] = args.epochs
-    if args.lr:
-        config['train']['lr'] = args.lr
-    if args.name:
-        config['output']['experiment_name'] = args.name
-    if args.project:
-        config['output']['save_dir'] = args.project
-    if args.device:
-        config['device'] = args.device
-    return config
-
-
-def main():
-    args = parse_args()
-
-    # Backend choice must precede jax import side effects.
-    import os
-    from unet_tpu.utils.config import load_config
-    config = apply_overrides(load_config(args.config), args)
-    if str(config.get('device', '')).lower() == 'cpu':
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-        os.environ['JAX_PLATFORM_NAME'] = 'cpu'
-
-    import jax
-    import jax.numpy as jnp
-
-    from unet_tpu.core.setup import donate_argnums, enable_compilation_cache
-    enable_compilation_cache()
-
-    from unet_tpu.core.mesh import (batch_sharding, create_mesh,
-                                    replicate, shard_batch)
-    from unet_tpu.data import (AugmentConfig, BatchLoader, SliceDataset,
-                               SyntheticSliceDataset, augment_batch,
-                               normalize_batch, prefetch_to_device)
-    from unet_tpu.models import create_model
-    from unet_tpu.train import (CheckpointManager, EarlyStopping,
-                                SegmentationMetrics, create_loss_function,
-                                create_optimizer, create_scheduler,
-                                ema_reinit, init_train_state, make_eval_step,
-                                make_train_step)
-    from unet_tpu.utils.config import (describe_devices, get_nested_metric,
-                                       increment_path, set_seed,
-                                       validate_config)
-    from unet_tpu.utils.plots import plot_predictions, plot_training_curves
-
-    validate_config(config)
-    seed = config.get('seed', 42)
-    set_seed(seed)
-    print(f'Using backend: {describe_devices()}')
-
-    # ---- run dir ----
-    save_dir = increment_path(Path(config['output']['save_dir'])
-                              / config['output']['experiment_name'])
-    weights_dir = save_dir / 'weights'
-    weights_dir.mkdir(parents=True, exist_ok=True)
-    print(f'Results will be saved to: {save_dir}')
-
-    # ---- data ----
-    data_cfg = config['data']
-    img_size = data_cfg['img_size']
-    batch_size = data_cfg['batch_size']
-    if args.synthetic:
-        ds_kwargs = dict(num_volumes=12, slices_per_volume=4,
-                         img_size=img_size, seed=seed,
-                         val_ratio=data_cfg.get('val_ratio', 0.2))
-        train_ds = SyntheticSliceDataset(split='train', **ds_kwargs)
-        val_ds = SyntheticSliceDataset(split='val', **ds_kwargs)
-    else:
-        train_ds = SliceDataset(data_cfg['root'], 'train',
-                                val_ratio=data_cfg.get('val_ratio', 0.2),
-                                seed=seed, img_size=img_size)
-        val_ds = SliceDataset(data_cfg['root'], 'val',
-                              val_ratio=data_cfg.get('val_ratio', 0.2),
-                              seed=seed, img_size=img_size)
-    workers = data_cfg.get('num_workers', 8)
-    train_loader = BatchLoader(train_ds, batch_size, shuffle=True,
-                               drop_last=True, seed=seed,
-                               num_threads=workers)
-    val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
-                             num_threads=workers)
-    print(f'Train samples: {len(train_ds)}, Val samples: {len(val_ds)}')
-
-    aug_cfg_yaml = config.get('augmentation', {})
-    augment_enabled = aug_cfg_yaml.get('enabled', True)
-    aug_cfg = AugmentConfig.from_yaml(aug_cfg_yaml)
-
-    # ---- mesh ----
-    tpu_cfg = config.get('tpu', {})
-    dp = tpu_cfg.get('data_parallel', -1)
-    n_dev = len(jax.devices())
-    dp = n_dev if dp in (-1, None) else dp
-    mesh = create_mesh(jax.devices()[:dp], data_parallel=dp)
-    data_sh = (batch_sharding(mesh, batch_axis=0)
-               if mesh.devices.size > 1 else None)     # eval batches
-    if batch_size % dp != 0:
-        raise ValueError(f'batch_size {batch_size} must be divisible by '
-                         f'the data-parallel degree {dp}')
-
-    # ---- model ----
-    model_cfg = config['model']
-    dtype = jnp.bfloat16 if tpu_cfg.get('compute_dtype',
-                                        'bfloat16') == 'bfloat16' \
-        else jnp.float32
-    deep_supervision = model_cfg.get('deep_supervision', False)
-    mtype = model_cfg.get('type', 'unet').lower()
-    if mtype == 'attention':
-        mtype = 'attention_unet'
-    model = create_model(mtype,
-                         n_channels=model_cfg['n_channels'],
-                         n_classes=model_cfg['n_classes'],
-                         bilinear=model_cfg.get('bilinear', True),
-                         base_features=model_cfg.get('base_features', 64),
-                         deep_supervision=deep_supervision, dtype=dtype)
-    n_classes = model_cfg['n_classes']
-
-    # ---- EMA config (code default enabled=True when key absent,
-    # matching ref train.py:316) ----
-    ema_cfg = config.get('ema', {})
-    use_ema = ema_cfg.get('enabled', True)
-    ema_decay = ema_cfg.get('decay', 0.99)
-    ema_warmup_epochs = ema_cfg.get('warmup_epochs', 5) if use_ema else 0
-    if use_ema:
-        print(f'Using EMA with decay={ema_decay}, '
-              f'warmup={ema_warmup_epochs} epochs')
-
-    # ---- loss ----
-    loss_cfg = config['loss']
-    loss_fn = create_loss_function(
-        loss_type=loss_cfg['type'],
-        ce_weight=loss_cfg.get('ce_weight', 1.0),
-        dice_weight=loss_cfg.get('dice_weight', 1.0),
-        class_weights=loss_cfg.get('class_weights'),
-        balanced_class_weight=loss_cfg.get('balanced_class_weight', 0.5),
-        deep_supervision=deep_supervision)
-    print(f"Loss function: {loss_cfg['type']}"
-          + (' + Deep Supervision' if deep_supervision else ''))
-
-    # ---- optimizer / state ----
-    train_cfg = config['train']
-    base_lr = train_cfg['lr']
-    tx = create_optimizer(base_lr,
-                          weight_decay=train_cfg.get('weight_decay', 1e-4),
-                          grad_clip=train_cfg.get('grad_clip', 0.0))
-    sample = jnp.zeros((batch_size, img_size, img_size,
-                        model_cfg['n_channels']), jnp.float32)
-    state = init_train_state(model, jax.random.key(seed), sample, tx,
-                             use_ema=use_ema)
-    state = replicate(mesh, state)
-    n_params = sum(int(np.prod(x.shape))
-                   for x in jax.tree.leaves(state.params))
-    print(f'Model parameters: {n_params:,}')
-
-    accum = train_cfg.get('accumulation_steps', 1)
-    if accum > 1:
-        print(f'Gradient accumulation: {accum} steps '
-              f'(effective batch={batch_size * accum})')
-
-    train_step = jax.jit(
-        make_train_step(model, loss_fn, tx, accum_steps=accum,
-                        ema_decay=ema_decay, use_ema=use_ema),
-        donate_argnums=donate_argnums(0))
-    eval_step = jax.jit(make_eval_step(model, loss_fn, n_classes))
-
-    # ---- scheduler / callbacks ----
-    epochs = train_cfg['epochs']
-    sched_kind, scheduler = create_scheduler(config.get('scheduler', {}),
-                                             base_lr, epochs)
-    es_cfg = config.get('early_stopping', {})
-    early_stopping = EarlyStopping(
-        patience=es_cfg.get('patience', 20),
-        mode=es_cfg.get('mode', 'max')) if es_cfg.get('enabled', True) \
-        else None
-    monitor = es_cfg.get('monitor', 'class_dice.tumor')
-    checkpoint = CheckpointManager(weights_dir, monitor=monitor,
-                                   mode=es_cfg.get('mode', 'max'),
-                                   save_last=config['output'].get(
-                                       'save_last', True),
-                                   save_best=config['output'].get(
-                                       'save_best', True))
-    metrics = SegmentationMetrics(n_classes, ['background', 'tumor'])
-    print(f'Monitoring metric: {monitor}')
-
-    # ---- resume ----
-    start_epoch = 0
-    if args.resume:
-        print(f'Resuming from {args.resume}')
-        meta = CheckpointManager.read_meta(args.resume)
-        state = CheckpointManager.restore_state(args.resume, state)
-        state = replicate(mesh, state)
-        if meta.get('scheduler') and sched_kind == 'plateau':
-            scheduler.load_state_dict(meta['scheduler'])
-        start_epoch = meta.get('epoch', -1) + 1
-        print(f'Resumed from epoch {start_epoch}')
-
-    history = {k: [] for k in ('train_loss', 'val_loss', 'val_dice',
-                               'val_iou', 'val_accuracy', 'tumor_dice',
-                               'lr')}
-
-    aug_key = jax.random.key(seed + 1)
-    micro_bs = batch_size
-
-    def run_validation(params, batch_stats):
-        metrics.reset()
-        total_loss, n_batches = 0.0, 0
-        for images, masks in prefetch_to_device(val_loader, data_sh):
-            images = normalize_batch(jnp.asarray(images, jnp.float32))
-            loss, cm = eval_step(params, batch_stats, images,
-                                 jnp.asarray(masks))
-            total_loss += float(loss)
-            n_batches += 1
-            metrics.update_from_matrix(cm)
-        results = metrics.compute()
-        results['loss'] = total_loss / max(n_batches, 1)
-        return results
-
-    print('\nStarting training...')
-    print('=' * 60)
-    for epoch in range(start_epoch, epochs):
-        lr = scheduler(epoch) if sched_kind == 'epoch' else scheduler.lr
-        print(f'\nEpoch {epoch + 1}/{epochs} (lr={lr:.2e})')
-        t0 = time.time()
-
-        # ---- train ----
-        loss_sum_total, n_micro = 0.0, 0
-        pending = []  # microbatches awaiting a super-batch
-
-        def flush(pending_batches):
-            nonlocal state, loss_sum_total, aug_key
-            k = len(pending_batches)
-            mask = np.zeros((accum,), np.float32)
-            mask[:k] = 1.0
-            while len(pending_batches) < accum:  # pad (masked out)
-                pending_batches.append(pending_batches[-1])
-            imgs = np.stack([b[0] for b in pending_batches])
-            msks = np.stack([b[1] for b in pending_batches])
-            imgs, msks = shard_batch(mesh, (imgs.astype(np.float32),
-                                            msks.astype(np.int32)),
-                                     batch_axis=1)
-            aug_key, k_use = jax.random.split(aug_key)
-            if augment_enabled:
-                flat_i = imgs.reshape(accum * micro_bs, img_size, img_size,
-                                      -1)
-                flat_m = msks.reshape(accum * micro_bs, img_size, img_size)
-                flat_i, flat_m = augment_batch(flat_i, flat_m, k_use,
-                                               aug_cfg)
-                imgs = flat_i.reshape(accum, micro_bs, img_size, img_size,
-                                      -1)
-                msks = flat_m.reshape(accum, micro_bs, img_size, img_size)
-            else:
-                imgs = normalize_batch(imgs)
-            state, loss_sum = train_step(state, imgs, msks,
-                                         jnp.float32(lr),
-                                         jnp.asarray(mask))
-            loss_sum_total += float(loss_sum)
-
-        for images, masks in train_loader:
-            pending.append((images, masks))
-            n_micro += 1
-            if len(pending) == accum:
-                flush(pending)
-                pending = []
-        if pending:  # leftover flush (ref train.py:153-159)
-            flush(pending)
-        train_loss = loss_sum_total / max(n_micro, 1)
-
-        # ---- EMA warmup state machine (ref train.py:459-467) ----
-        use_ema_for_val = use_ema and epoch >= ema_warmup_epochs
-        if use_ema and epoch == ema_warmup_epochs:
-            state = ema_reinit(state)
-            print(f'  EMA re-initialized from training model at epoch '
-                  f'{epoch + 1}')
-        if use_ema_for_val:
-            val_params, val_stats = state.ema.params, state.ema.batch_stats
-            val_model_name = 'EMA model'
-        else:
-            val_params, val_stats = state.params, state.batch_stats
-            val_model_name = ('training model (EMA warmup)' if use_ema
-                              else 'training model')
-
-        val_results = run_validation(val_params, val_stats)
-        dt = time.time() - t0
-
-        history['train_loss'].append(train_loss)
-        history['val_loss'].append(val_results['loss'])
-        history['val_dice'].append(val_results['mean_dice'])
-        history['val_iou'].append(val_results['mean_iou'])
-        history['val_accuracy'].append(val_results['pixel_accuracy'])
-        history['tumor_dice'].append(
-            val_results['class_dice'].get('tumor', 0.0))
-        history['lr'].append(lr)
-
-        print(f'  Train Loss: {train_loss:.4f}  ({dt:.1f}s, '
-              f'{len(train_ds) / max(dt, 1e-9):.1f} slices/s)')
-        print(f"  Val [{val_model_name}]: Loss={val_results['loss']:.4f} | "
-              f"Dice={val_results['mean_dice']:.4f} | "
-              f"IoU={val_results['mean_iou']:.4f} | "
-              f"Acc={val_results['pixel_accuracy']:.4f}")
-        print(f"  Tumor Dice: {val_results['class_dice'].get('tumor', 0):.4f}"
-              f" | Tumor IoU: {val_results['class_iou'].get('tumor', 0):.4f}")
-
-        # ---- checkpoint (same weights as validated, ref train.py:499) ----
-        sched_state = (scheduler.state_dict() if sched_kind == 'plateau'
-                       else None)
-        checkpoint.save(state, {'params': val_params,
-                                'batch_stats': val_stats},
-                        epoch, val_results, config=config,
-                        scheduler_state=sched_state)
-
-        monitored = get_nested_metric(val_results, monitor)
-        if sched_kind == 'plateau':
-            scheduler.step(monitored)
-        if early_stopping and early_stopping(monitored):
-            print('\nEarly stopping triggered!')
-            break
-
-    print('\n' + '=' * 60)
-    print('Training complete!')
-
-    plot_training_curves(history, save_path=save_dir / 'training_curves.png')
-
-    # ---- reload best + visualize tumor-containing val samples
-    # (ref train.py:531-577) ----
-    best_dir = weights_dir / 'best'
-    if best_dir.exists():
-        restored = CheckpointManager.restore_model(
-            best_dir, target={'params': val_params,
-                              'batch_stats': val_stats})
-        val_params = restored['params']
-        val_stats = restored['batch_stats']
-        meta = CheckpointManager.read_meta(best_dir)
-        print(f"Loaded best model from epoch {meta.get('epoch', 0) + 1}")
-
-    tumor_images, tumor_masks = [], []
-    for images, masks in val_loader:
-        for i in range(images.shape[0]):
-            if masks[i].sum() > 0:
-                tumor_images.append(images[i])
-                tumor_masks.append(masks[i])
-            if len(tumor_images) >= 8:
-                break
-        if len(tumor_images) >= 8:
-            break
-    if tumor_images:
-        timgs = normalize_batch(jnp.asarray(np.stack(tumor_images),
-                                            jnp.float32))
-        tmasks = np.stack(tumor_masks)
-        logits = model.apply({'params': val_params,
-                              'batch_stats': val_stats}, timgs, train=False)
-        plot_predictions(np.asarray(timgs), tmasks, np.asarray(logits),
-                         num_samples=min(4, len(tumor_images)),
-                         save_path=save_dir / 'val_predictions.png',
-                         class_names=['background', 'tumor'])
-    else:
-        print('Warning: no tumor samples found in validation set')
-
-    print(f'\nResults saved to: {save_dir}')
-    if history['tumor_dice']:
-        best_dice = max(history['tumor_dice'])
-        best_epoch = history['tumor_dice'].index(best_dice) + 1
-        print(f'Best Tumor Dice: {best_dice:.4f} at epoch {best_epoch}')
-    return history
-
+from unet_tpu.cli.train import main
 
 if __name__ == '__main__':
     main()

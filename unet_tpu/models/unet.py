@@ -67,6 +67,8 @@ class AttentionUNet(nn.Module):
     base_features: int = 64
     deep_supervision: bool = False
     dtype: Any = jnp.float32
+    # None = auto (fused Pallas attention gates on TPU inference)
+    use_fused_gate: 'Any' = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -80,13 +82,15 @@ class AttentionUNet(nn.Module):
         x4 = Down(f * 8, dtype=dt, name='down3')(x3, train)
         x5 = Down(f * 16 // factor, dtype=dt, name='down4')(x4, train)
 
+        fg = self.use_fused_gate
         d4 = AttentionUp(f * 8 // factor, self.bilinear, dtype=dt,
-                         name='up1')(x5, x4, train)
+                         use_fused_gate=fg, name='up1')(x5, x4, train)
         d3 = AttentionUp(f * 4 // factor, self.bilinear, dtype=dt,
-                         name='up2')(d4, x3, train)
+                         use_fused_gate=fg, name='up2')(d4, x3, train)
         d2 = AttentionUp(f * 2 // factor, self.bilinear, dtype=dt,
-                         name='up3')(d3, x2, train)
-        d1 = AttentionUp(f, self.bilinear, dtype=dt, name='up4')(d2, x1, train)
+                         use_fused_gate=fg, name='up3')(d3, x2, train)
+        d1 = AttentionUp(f, self.bilinear, dtype=dt,
+                         use_fused_gate=fg, name='up4')(d2, x1, train)
 
         logits = OutConv(self.n_classes, dtype=dt, name='outc')(d1)
         logits = logits.astype(jnp.float32)
@@ -114,7 +118,7 @@ MODEL_REGISTRY = {
 def create_model(model_type: str = 'attention_unet', *, n_channels: int = 1,
                  n_classes: int = 2, bilinear: bool = True,
                  base_features: int = 64, deep_supervision: bool = False,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32, use_fused_gate: Any = None):
     """Model factory mirroring the reference's train.py:305-310 selection."""
     model_type = model_type.lower()
     if model_type not in MODEL_REGISTRY:
@@ -124,4 +128,5 @@ def create_model(model_type: str = 'attention_unet', *, n_channels: int = 1,
                   bilinear=bilinear, base_features=base_features, dtype=dtype)
     if model_type == 'attention_unet':
         kwargs['deep_supervision'] = deep_supervision
+        kwargs['use_fused_gate'] = use_fused_gate
     return MODEL_REGISTRY[model_type](**kwargs)
