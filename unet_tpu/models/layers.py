@@ -140,12 +140,15 @@ class AttentionGate(nn.Module):
     (ref layers.py:183). All 1x1 convs are bias-free. Returns x * attention.
     inter_channels defaults to skip_channels // 2 (ref layers.py:147-148).
 
-    Inference on TPU uses the fused Pallas kernel
+    A fused Pallas inference kernel is available
     (unet_tpu.ops.pallas.attention_gate): upsample + both 1x1 convs with
-    BatchNorm folded + psi + sigmoid + gating in one VMEM-resident pass
-    (~7-19x faster than the unfused path at flagship shapes). Training
-    always uses the XLA path (batch stats need a global reduction).
-    ``use_fused``: None = auto (TPU and eval), True/False to force.
+    BatchNorm folded + psi + sigmoid + gating in one VMEM-resident pass.
+    Measured end-to-end it currently LOSES to XLA's whole-graph fusion
+    (XLA folds the final gating multiply into the consumer conv; the
+    kernel forces an extra HBM round-trip of the gated skip), so the
+    default is off. ``use_fused``: None/False = XLA path, True = Pallas
+    kernel (eval only; training always uses XLA — batch stats need a
+    global reduction).
     """
 
     inter_channels: Optional[int] = None
@@ -171,9 +174,7 @@ class AttentionGate(nn.Module):
 
         from unet_tpu.ops.pallas.attention_gate import fused_shapes_supported
 
-        fused = self.use_fused
-        if fused is None:
-            fused = (not train) and jax.default_backend() == 'tpu'
+        fused = bool(self.use_fused) and jax.default_backend() == 'tpu'
         fused = (fused and not train and not self.is_initializing()
                  and fused_shapes_supported(g.shape, x.shape))
         if fused:

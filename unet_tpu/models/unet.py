@@ -67,7 +67,8 @@ class AttentionUNet(nn.Module):
     base_features: int = 64
     deep_supervision: bool = False
     dtype: Any = jnp.float32
-    # None = auto (fused Pallas attention gates on TPU inference)
+    # True = fused Pallas attention gates on TPU inference (off by
+    # default: XLA's whole-graph fusion currently wins end-to-end)
     use_fused_gate: 'Any' = None
 
     @nn.compact
