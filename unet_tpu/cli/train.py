@@ -41,6 +41,10 @@ def parse_args():
                    help='"cpu" forces the CPU backend')
     p.add_argument('--synthetic', action='store_true',
                    help='use a synthetic dataset (no files needed)')
+    p.add_argument('--profile-dir', type=str, default=None,
+                   help='write a jax.profiler trace of epoch 1 here')
+    p.add_argument('--debug-nans', action='store_true',
+                   help='fail fast on the first NaN (jax_debug_nans)')
     return p.parse_args()
 
 
@@ -99,7 +103,10 @@ def main():
                                        increment_path, set_seed,
                                        validate_config)
     from unet_tpu.utils.plots import plot_predictions, plot_training_curves
+    from unet_tpu.utils.profiling import nan_guard, trace
 
+    if getattr(args, 'debug_nans', False):
+        nan_guard(True)
     validate_config(config)
     seed = config.get('seed', 42)
     set_seed(seed)
@@ -272,10 +279,15 @@ def main():
 
     print('\nStarting training...')
     print('=' * 60)
+    profile_dir = getattr(args, 'profile_dir', None)
     for epoch in range(start_epoch, epochs):
         lr = scheduler(epoch) if sched_kind == 'epoch' else scheduler.lr
         print(f'\nEpoch {epoch + 1}/{epochs} (lr={lr:.2e})')
         t0 = time.time()
+        epoch_trace = trace(profile_dir) if (
+            profile_dir and epoch == start_epoch) else None
+        if epoch_trace:
+            epoch_trace.__enter__()
 
         # ---- train ----
         loss_sum_total, n_micro = 0.0, 0
@@ -319,6 +331,8 @@ def main():
         if pending:  # leftover flush (ref train.py:153-159)
             flush(pending)
         train_loss = loss_sum_total / max(n_micro, 1)
+        if epoch_trace:
+            epoch_trace.__exit__(None, None, None)
 
         # ---- EMA warmup state machine (ref train.py:459-467) ----
         use_ema_for_val = use_ema and epoch >= ema_warmup_epochs
