@@ -31,7 +31,10 @@ def parse_args():
     p.add_argument('--output', type=str, default='predictions')
     p.add_argument('--img-size', type=int, default=256,
                    help='network input size (use the training size!)')
-    p.add_argument('--threshold', type=float, default=0.5)
+    p.add_argument('--threshold', type=str, default='0.5',
+                   help='tumor-probability threshold; a comma list '
+                        '(e.g. 0.3,0.5,0.7) sweeps thresholds and saves '
+                        'masks for each')
     p.add_argument('--device', type=str, default=None)
     p.add_argument('--save-overlay', action='store_true')
     p.add_argument('--no-save-mask', action='store_true')
@@ -134,6 +137,8 @@ def main():
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     bs = max(1, args.batch_size)
+    thresholds = [float(t) for t in str(args.threshold).split(',')]
+    main_thr = thresholds[0]
 
     n_with_tumor, coverages, n_failed = 0, [], 0
     for start in range(0, len(files), bs):
@@ -158,7 +163,13 @@ def main():
 
         for i in range(n_real):
             f, orig = metas[i]
-            mask = postprocess_mask(tumor_prob[i], args.threshold, orig)
+            mask = postprocess_mask(tumor_prob[i], main_thr, orig)
+            for thr in thresholds[1:]:  # threshold sweep outputs
+                m2 = postprocess_mask(tumor_prob[i], thr, orig)
+                if not args.no_save_mask:
+                    from PIL import Image
+                    Image.fromarray(m2).save(
+                        out_dir / f'{f.stem}_mask_t{thr:g}.png')
             tumor_px = int((mask > 127).sum())
             total_px = mask.size
             if tumor_px > 0:

@@ -137,11 +137,12 @@ def main():
                               val_ratio=data_cfg.get('val_ratio', 0.2),
                               seed=seed, img_size=img_size)
     workers = data_cfg.get('num_workers', 8)
+    # uint8 on the wire: 4x less host->device traffic; cast on device
     train_loader = BatchLoader(train_ds, batch_size, shuffle=True,
                                drop_last=True, seed=seed,
-                               num_threads=workers)
+                               num_threads=workers, raw_uint8=True)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
-                             num_threads=workers)
+                             num_threads=workers, raw_uint8=True)
     print(f'Train samples: {len(train_ds)}, Val samples: {len(val_ds)}')
 
     aug_cfg_yaml = config.get('augmentation', {})
@@ -267,9 +268,9 @@ def main():
         metrics.reset()
         total_loss, n_batches = 0.0, 0
         for images, masks in prefetch_to_device(val_loader, data_sh):
-            images = normalize_batch(jnp.asarray(images, jnp.float32))
+            images = normalize_batch(images.astype(jnp.float32) / 255.0)
             loss, cm = eval_step(params, batch_stats, images,
-                                 jnp.asarray(masks))
+                                 masks.astype(jnp.int32))
             total_loss += float(loss)
             n_batches += 1
             metrics.update_from_matrix(cm)
@@ -290,11 +291,11 @@ def main():
             epoch_trace.__enter__()
 
         # ---- train ----
-        loss_sum_total, n_micro = 0.0, 0
+        loss_sums, n_micro = [], 0  # device scalars; sync at epoch end
         pending = []  # microbatches awaiting a super-batch
 
         def flush(pending_batches):
-            nonlocal state, loss_sum_total, aug_key
+            nonlocal state, aug_key
             k = len(pending_batches)
             mask = np.zeros((accum,), np.float32)
             mask[:k] = 1.0
@@ -302,9 +303,9 @@ def main():
                 pending_batches.append(pending_batches[-1])
             imgs = np.stack([b[0] for b in pending_batches])
             msks = np.stack([b[1] for b in pending_batches])
-            imgs, msks = shard_batch(mesh, (imgs.astype(np.float32),
-                                            msks.astype(np.int32)),
-                                     batch_axis=1)
+            imgs, msks = shard_batch(mesh, (imgs, msks), batch_axis=1)
+            imgs = imgs.astype(jnp.float32) / 255.0
+            msks = msks.astype(jnp.int32)
             aug_key, k_use = jax.random.split(aug_key)
             if augment_enabled:
                 flat_i = imgs.reshape(accum * micro_bs, img_size, img_size,
@@ -320,7 +321,9 @@ def main():
             state, loss_sum = train_step(state, imgs, msks,
                                          jnp.float32(lr),
                                          jnp.asarray(mask))
-            loss_sum_total += float(loss_sum)
+            # keep as a device scalar: forcing float() here would stall
+            # the async dispatch pipeline every super-batch
+            loss_sums.append(loss_sum)
 
         for images, masks in train_loader:
             pending.append((images, masks))
@@ -330,7 +333,7 @@ def main():
                 pending = []
         if pending:  # leftover flush (ref train.py:153-159)
             flush(pending)
-        train_loss = loss_sum_total / max(n_micro, 1)
+        train_loss = float(sum(float(s) for s in loss_sums)) / max(n_micro, 1)
         if epoch_trace:
             epoch_trace.__exit__(None, None, None)
 
@@ -413,7 +416,8 @@ def main():
             break
     if tumor_images:
         timgs = normalize_batch(jnp.asarray(np.stack(tumor_images),
-                                            jnp.float32))
+                                            jnp.float32) / 255.0)
+        tumor_masks = [m.astype(np.int32) for m in tumor_masks]
         tmasks = np.stack(tumor_masks)
         logits = model.apply({'params': val_params,
                               'batch_stats': val_stats}, timgs, train=False)

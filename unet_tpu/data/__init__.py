@@ -5,6 +5,7 @@ from unet_tpu.data.augmentations import (
 )
 from unet_tpu.data.dataset import (
     BatchLoader,
+    create_dataloaders,
     SliceDataset,
     SyntheticSliceDataset,
     prefetch_to_device,
@@ -12,6 +13,6 @@ from unet_tpu.data.dataset import (
 )
 
 __all__ = [
-    'SliceDataset', 'SyntheticSliceDataset', 'BatchLoader', 'volume_split',
+    'create_dataloaders', 'SliceDataset', 'SyntheticSliceDataset', 'BatchLoader', 'volume_split',
     'prefetch_to_device', 'AugmentConfig', 'augment_batch', 'normalize_batch',
 ]

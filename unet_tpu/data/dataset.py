@@ -108,6 +108,20 @@ class SliceDataset:
         mask = (np.asarray(msk, np.uint8) > 127).astype(np.int32)
         return image, mask
 
+    def load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 variant of ``load`` for cheap host->device transfer:
+        image uint8 [0,255], mask uint8 {0,1}. Convert on device with
+        ``images.astype(f32)/255``."""
+        name = self.files[idx]
+        img = Image.open(self.images_dir / name).convert('L')
+        msk = Image.open(self.labels_dir / name).convert('L')
+        if img.size != (self.img_size, self.img_size):
+            img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
+        if msk.size != (self.img_size, self.img_size):
+            msk = msk.resize((self.img_size, self.img_size), Image.NEAREST)
+        return (np.asarray(img, np.uint8),
+                (np.asarray(msk, np.uint8) > 127).astype(np.uint8))
+
     def get_sample_info(self, idx: int) -> Dict:
         name = self.files[idx]
         parts = name.replace('.png', '').split('_slice_')
@@ -167,6 +181,10 @@ class SyntheticSliceDataset:
         img = np.clip(img, 0.0, 1.0)
         return img.astype(np.float32), mask
 
+    def load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, mask = self.load(idx)
+        return (img * 255).astype(np.uint8), mask.astype(np.uint8)
+
     def get_sample_info(self, idx: int) -> Dict:
         name = self.files[idx]
         parts = name.replace('.png', '').split('_slice_')
@@ -194,12 +212,13 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 num_threads: int = 8):
+                 num_threads: int = 8, raw_uint8: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = num_threads
+        self.raw_uint8 = raw_uint8
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -213,12 +232,14 @@ class BatchLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         nb = len(self)
+        load = (self.dataset.load_raw if self.raw_uint8
+                else self.dataset.load)
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             # pipeline: submit loads for the next batch while yielding
             futures = []
             for b in range(nb):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                futures.append([pool.submit(self.dataset.load, int(i))
+                futures.append([pool.submit(load, int(i))
                                 for i in idxs])
             for batch_futs in futures:
                 samples = [f.result() for f in batch_futs]
@@ -252,3 +273,27 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
         except StopIteration:
             pass
         yield out
+
+
+def create_dataloaders(root: str, batch_size: int = 8,
+                       val_ratio: float = 0.2, img_size: int = 256,
+                       num_workers: int = 8, seed: int = 42,
+                       synthetic: bool = False):
+    """Convenience factory for (train_loader, val_loader) — the
+    counterpart of ref unet/data/dataset.py:194-258. Train: shuffled,
+    drop_last; val: ordered. Augmentation/normalization happen on device
+    (unet_tpu.data.augmentations), not in the loader."""
+    kwargs = dict(split='train', val_ratio=val_ratio, seed=seed,
+                  img_size=img_size)
+    if synthetic:
+        train_ds = SyntheticSliceDataset(**kwargs)
+        val_ds = SyntheticSliceDataset(**{**kwargs, 'split': 'val'})
+    else:
+        train_ds = SliceDataset(root, **kwargs)
+        val_ds = SliceDataset(root, **{**kwargs, 'split': 'val'})
+    train_loader = BatchLoader(train_ds, batch_size, shuffle=True,
+                               drop_last=True, seed=seed,
+                               num_threads=num_workers)
+    val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
+                             num_threads=num_workers)
+    return train_loader, val_loader
