@@ -174,3 +174,69 @@ def test_normalize_batch():
     x = jnp.asarray([[0.0, 0.5, 1.0]])
     np.testing.assert_allclose(np.asarray(normalize_batch(x)),
                                [[-1.0, 0.0, 1.0]], atol=1e-6)
+
+
+def test_slice_cache_native_and_python(tmp_path, rng):
+    """Build the cache with the native C++ builder and the Python
+    fallback; both must produce identical blobs and round-trip through
+    CachedSliceDataset with the same split as SliceDataset."""
+    from PIL import Image
+
+    from unet_tpu.data.cache import build_cache, CachedSliceDataset
+    from unet_tpu.data.dataset import SliceDataset
+
+    (tmp_path / 'images').mkdir()
+    (tmp_path / 'labels').mkdir()
+    names = [f'{v}_slice_{s:04d}.png' for v in range(6) for s in range(2)]
+    for n in names:
+        img = (rng.random((24, 24)) * 255).astype(np.uint8)
+        msk = ((rng.random((24, 24)) > 0.8) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / 'images' / n)
+        Image.fromarray(msk).save(tmp_path / 'labels' / n)
+
+    import json
+    # same-size build: native and python blobs must be bitwise identical
+    native = tmp_path / 'cache_native.bin'
+    pyref = tmp_path / 'cache_python.bin'
+    build_cache(tmp_path, native, img_size=24, prefer_native=True)
+    build_cache(tmp_path, pyref, img_size=24, prefer_native=False)
+    native_used = json.loads(open(str(native) + '.json').read())['native']
+    if native_used:
+        assert native.read_bytes() == pyref.read_bytes()
+
+    # resized build: PIL's BILINEAR downscale uses an adaptive triangle
+    # filter, classic bilinear doesn't — allow small intensity deltas,
+    # masks must still be {0,1}
+    if native_used:
+        nat16 = tmp_path / 'c16n.bin'
+        py16 = tmp_path / 'c16p.bin'
+        build_cache(tmp_path, nat16, img_size=16, prefer_native=True)
+        build_cache(tmp_path, py16, img_size=16, prefer_native=False)
+        a = CachedSliceDataset(nat16, split='all')
+        b = CachedSliceDataset(py16, split='all')
+        ra, ma = a.load_raw(0)
+        rb, mb = b.load_raw(0)
+        assert set(np.unique(ma)) <= {0, 1}
+        assert abs(ra.astype(int) - rb.astype(int)).mean() < 30
+
+    ds = CachedSliceDataset(pyref, split='val', val_ratio=0.25, seed=42)
+    ref = SliceDataset(tmp_path, split='val', val_ratio=0.25, seed=42,
+                       img_size=24)
+    assert ds.files == ref.files
+    img_a, msk_a = ds.load(0)
+    img_b, msk_b = ref.load(0)
+    np.testing.assert_array_equal(msk_a, msk_b)
+    np.testing.assert_allclose(img_a, img_b, atol=1 / 255)
+    raw_i, raw_m = ds.load_raw(0)
+    assert raw_i.dtype == np.uint8 and set(np.unique(raw_m)) <= {0, 1}
+
+
+def test_batchloader_raw_uint8(rng):
+    from unet_tpu.data import BatchLoader, SyntheticSliceDataset
+    ds = SyntheticSliceDataset(num_volumes=3, slices_per_volume=2,
+                               img_size=16)
+    im, mk = next(iter(BatchLoader(ds, 2, raw_uint8=True)))
+    assert im.dtype == np.uint8 and mk.dtype == np.uint8
+    imf, mkf = next(iter(BatchLoader(ds, 2)))
+    np.testing.assert_allclose(im[..., 0] / 255.0, imf[..., 0], atol=1/255)
+    np.testing.assert_array_equal(mk, mkf)

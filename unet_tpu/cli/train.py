@@ -41,6 +41,10 @@ def parse_args():
                    help='"cpu" forces the CPU backend')
     p.add_argument('--synthetic', action='store_true',
                    help='use a synthetic dataset (no files needed)')
+    p.add_argument('--cache', type=str, default=None,
+                   help='slice-cache blob path: built (natively) if '
+                        'missing, then memory-mapped for zero-decode '
+                        'epoch streaming')
     p.add_argument('--profile-dir', type=str, default=None,
                    help='write a jax.profiler trace of epoch 1 here')
     p.add_argument('--debug-nans', action='store_true',
@@ -129,6 +133,15 @@ def main():
                          val_ratio=data_cfg.get('val_ratio', 0.2))
         train_ds = SyntheticSliceDataset(split='train', **ds_kwargs)
         val_ds = SyntheticSliceDataset(split='val', **ds_kwargs)
+    elif getattr(args, 'cache', None) or data_cfg.get('cache'):
+        from unet_tpu.data.cache import CachedSliceDataset, build_cache
+        cache_path = getattr(args, 'cache', None) or data_cfg['cache']
+        if not Path(cache_path).exists():
+            print(f'Building slice cache at {cache_path} ...')
+            build_cache(data_cfg['root'], cache_path, img_size=img_size)
+        kw = dict(val_ratio=data_cfg.get('val_ratio', 0.2), seed=seed)
+        train_ds = CachedSliceDataset(cache_path, 'train', **kw)
+        val_ds = CachedSliceDataset(cache_path, 'val', **kw)
     else:
         train_ds = SliceDataset(data_cfg['root'], 'train',
                                 val_ratio=data_cfg.get('val_ratio', 0.2),

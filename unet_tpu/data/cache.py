@@ -1,0 +1,176 @@
+"""Memory-mapped slice cache: pay PNG decode once, stream epochs at
+disk/page-cache speed.
+
+The reference decodes PNGs per sample per epoch inside DataLoader
+workers (ref unet/data/dataset.py:146-150). On a TPU host that wastes
+the accelerator; here `build_cache` decodes+resizes every slice once
+into one uint8 blob (native multithreaded C++/libpng builder in
+`csrc/slice_cache.cpp` when available, pure-PIL fallback otherwise),
+and `CachedSliceDataset` memory-maps it so `load_raw` is a zero-copy
+view. Blob layout::
+
+    'USC1' | int32 n | int32 img_size | n*S*S image bytes | n*S*S masks
+
+with a `<cache>.json` sidecar listing slice filenames (volume-split
+metadata).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import struct
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from unet_tpu.data.dataset import CLASS_NAMES, volume_split
+
+_MAGIC = b'USC1'
+_CSRC = Path(__file__).resolve().parent.parent.parent / 'csrc'
+
+
+def _native_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native cache builder."""
+    so = _CSRC / 'libslicecache.so'
+    if not so.exists():
+        try:
+            subprocess.run(['make', '-C', str(_CSRC)], check=True,
+                           capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.build_slice_cache.restype = ctypes.c_int
+    lib.build_slice_cache.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+    lib.slice_cache_last_error.restype = ctypes.c_char_p
+    return lib
+
+
+def _build_native(image_paths: List[str], label_paths: List[str],
+                  img_size: int, out_path: str,
+                  num_threads: int = 0) -> bool:
+    lib = _native_lib()
+    if lib is None:
+        return False
+    n = len(image_paths)
+    ArrT = ctypes.c_char_p * n
+    imgs = ArrT(*[p.encode() for p in image_paths])
+    lbls = ArrT(*[p.encode() for p in label_paths])
+    rc = lib.build_slice_cache(imgs, lbls, n, img_size, out_path.encode(),
+                               num_threads)
+    if rc != 0:
+        raise RuntimeError('native cache build failed: '
+                           f'{lib.slice_cache_last_error().decode()}')
+    return True
+
+
+def _build_python(image_paths: List[str], label_paths: List[str],
+                  img_size: int, out_path: str) -> None:
+    from PIL import Image
+    n = len(image_paths)
+    plane = img_size * img_size
+    with open(out_path, 'wb') as f:
+        f.write(_MAGIC)
+        f.write(struct.pack('<ii', n, img_size))
+        for paths, mode in ((image_paths, 'img'), (label_paths, 'msk')):
+            for p in paths:
+                im = Image.open(p).convert('L')
+                if im.size != (img_size, img_size):
+                    im = im.resize((img_size, img_size),
+                                   Image.BILINEAR if mode == 'img'
+                                   else Image.NEAREST)
+                a = np.asarray(im, np.uint8)
+                if mode == 'msk':
+                    a = (a > 127).astype(np.uint8)
+                assert a.size == plane
+                f.write(a.tobytes())
+
+
+def build_cache(dataset_root: str, out_path: str, img_size: int = 512,
+                prefer_native: bool = True, num_threads: int = 0) -> str:
+    """Build the cache blob for ``root/{images,labels}/*.png``."""
+    root = Path(dataset_root)
+    names = sorted(p.name for p in (root / 'images').glob('*.png'))
+    if not names:
+        raise ValueError(f'no PNGs under {root}/images')
+    image_paths = [str(root / 'images' / n) for n in names]
+    label_paths = [str(root / 'labels' / n) for n in names]
+    out_path = str(out_path)
+    built_native = False
+    if prefer_native:
+        try:
+            built_native = _build_native(image_paths, label_paths, img_size,
+                                         out_path, num_threads)
+        except RuntimeError:
+            raise
+    if not built_native:
+        _build_python(image_paths, label_paths, img_size, out_path)
+    Path(out_path + '.json').write_text(json.dumps(
+        {'files': names, 'img_size': img_size,
+         'native': built_native}))
+    return out_path
+
+
+class CachedSliceDataset:
+    """Zero-decode dataset over a cache blob; same interface and split
+    semantics as SliceDataset."""
+
+    def __init__(self, cache_path: str, split: str = 'train',
+                 val_ratio: float = 0.2, test_ratio: float = 0.0,
+                 seed: int = 42):
+        cache_path = str(cache_path)
+        meta = json.loads(Path(cache_path + '.json').read_text())
+        all_files: List[str] = meta['files']
+        with open(cache_path, 'rb') as f:
+            magic = f.read(4)
+            if magic != _MAGIC:
+                raise ValueError(f'bad cache magic {magic!r}')
+            n, img_size = struct.unpack('<ii', f.read(8))
+        if n != len(all_files):
+            raise ValueError('cache/sidecar length mismatch')
+        self.img_size = img_size
+        plane = img_size * img_size
+        self._images = np.memmap(cache_path, np.uint8, 'r', offset=12,
+                                 shape=(n, img_size, img_size))
+        self._masks = np.memmap(cache_path, np.uint8, 'r',
+                                offset=12 + n * plane,
+                                shape=(n, img_size, img_size))
+        self.files = volume_split(all_files, split, val_ratio, test_ratio,
+                                  seed)
+        self._index = {name: i for i, name in enumerate(all_files)}
+        print(f'CachedSliceDataset [{split}]: {len(self.files)} samples '
+              f'(of {n} cached @ {img_size})')
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        i = self._index[self.files[idx]]
+        return self._images[i], self._masks[i]
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, msk = self.load_raw(idx)
+        return (np.asarray(img, np.float32) / 255.0,
+                np.asarray(msk, np.int32))
+
+    def get_sample_info(self, idx: int):
+        name = self.files[idx]
+        parts = name.replace('.png', '').split('_slice_')
+        return {'filename': name, 'volume_id': parts[0],
+                'slice_id': int(parts[1]) if len(parts) > 1 else 0}
+
+    @property
+    def class_names(self) -> List[str]:
+        return list(CLASS_NAMES)
+
+    @property
+    def num_classes(self) -> int:
+        return 2
