@@ -36,7 +36,7 @@ setup(
         'console_scripts': [
             'unet-train=unet_tpu.cli.train:main',
             'unet-predict=unet_tpu.cli.predict:main',
-            'unet-overfit-test=unet_tpu.cli.overfit:run_overfit',
+            'unet-overfit-test=unet_tpu.cli.overfit:main',
         ],
     },
 )

@@ -160,6 +160,10 @@ def run_overfit(args=None):
     return passed
 
 
+def main() -> int:
+    """console_script entry: exit 0 on PASS."""
+    return 0 if run_overfit() else 1
+
+
 if __name__ == '__main__':
-    ok = run_overfit()
-    sys.exit(0 if ok else 1)
+    sys.exit(main())

@@ -58,17 +58,46 @@ def _bn(train: bool, name: str, dtype=jnp.float32):
 
 
 class DoubleConv(nn.Module):
-    """(Conv3x3 no-bias -> BN -> ReLU) x 2. Ref layers.py:16-41."""
+    """(Conv3x3 no-bias -> BN -> ReLU) x 2. Ref layers.py:16-41.
+
+    Accepts either a single NHWC tensor or a *pair* ``(skip, up)``. The
+    pair form computes ``conv1(concat([skip, up]))`` as two convolutions
+    with channel-sliced kernels summed — mathematically identical
+    (convolution is linear in input channels, kernel param unchanged)
+    but it never materializes the concatenated feature map in HBM, which
+    matters on bandwidth-bound chips: the decoder concats at 512x512 are
+    among the largest tensors in the model.
+    """
 
     out_channels: int
     mid_channels: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        import jax
+
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
-        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32, name='conv1')(x)
+        conv1 = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name='conv1')
+        if isinstance(x, (tuple, list)):
+            a, b = x
+            ca = a.shape[-1]
+            cin = ca + b.shape[-1]
+            # declare conv1's (3,3,cin,mid) kernel, then apply it as two
+            # sliced convolutions (XLA DCEs the dummy call)
+            conv1(jnp.zeros((1, 4, 4, cin), self.dtype))
+            k = conv1.variables['params']['kernel'].astype(self.dtype)
+            dn = ('NHWC', 'HWIO', 'NHWC')
+            x = (jax.lax.conv_general_dilated(
+                    a.astype(self.dtype), k[:, :, :ca], (1, 1), 'SAME',
+                    dimension_numbers=dn)
+                 + jax.lax.conv_general_dilated(
+                    b.astype(self.dtype), k[:, :, ca:], (1, 1), 'SAME',
+                    dimension_numbers=dn))
+        else:
+            x = conv1(x)
         x = _bn(train, 'bn1', self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
@@ -127,9 +156,10 @@ class Up(nn.Module):
                                   param_dtype=jnp.float32, name='up')(x1)
             mid = None
         x1 = pad_to_match(x1, x2.shape[1], x2.shape[2])
-        x = jnp.concatenate([x2, x1], axis=-1)  # [skip, up], ref layers.py:105
+        # [skip, up] order (ref layers.py:105); the concat is virtual —
+        # DoubleConv's pair form slices the kernel instead.
         return DoubleConv(self.out_channels, mid_channels=mid,
-                          dtype=self.dtype, name='conv')(x, train)
+                          dtype=self.dtype, name='conv')((x2, x1), train)
 
 
 class AttentionGate(nn.Module):
@@ -240,6 +270,6 @@ class AttentionUp(nn.Module):
                                   param_dtype=jnp.float32, name='up')(x1)
             mid = None
         x1 = pad_to_match(x1, x2_att.shape[1], x2_att.shape[2])
-        x = jnp.concatenate([x2_att, x1], axis=-1)
         return DoubleConv(self.out_channels, mid_channels=mid,
-                          dtype=self.dtype, name='conv')(x, train)
+                          dtype=self.dtype, name='conv')((x2_att, x1),
+                                                         train)

@@ -90,10 +90,49 @@ def balanced_ce_loss(logits: Array, targets: Array,
     return jnp.sum(ce * w) / logits.shape[0]
 
 
+def _dice_bce_binary_fast(logits: Array, targets: Array, ce_weight: float,
+                          dice_weight: float, class_weight: float,
+                          dice_smooth: float = 1.0,
+                          bce_smooth: float = 1e-6) -> Array:
+    """Fused binary (2-class) DiceBCE: mathematically identical to
+    balanced_ce + dice(ignore_background) but derived entirely from the
+    logit margin d = l1 - l0, cutting the number of (N, H, W) f32
+    elementwise passes roughly in half (this loss runs on full-res
+    512x512 maps, so it is HBM-traffic that matters):
+
+      p1 = sigmoid(d)          (= softmax(l)[..., 1])
+      ce = softplus(-d) on tumor px, softplus(d) on background px
+      dice over class 1 only; balanced per-image pixel weights as in
+      ref loss.py:129-148.
+    """
+    d = (logits[..., 1] - logits[..., 0]).astype(jnp.float32)  # (N,H,W)
+    t = (targets == 1)
+    tf = t.astype(jnp.float32)
+
+    p1 = jax.nn.sigmoid(d)
+    inter = jnp.sum(p1 * tf, axis=(1, 2))
+    union = jnp.sum(p1, axis=(1, 2)) + jnp.sum(tf, axis=(1, 2))
+    dice = (2.0 * inter + dice_smooth) / (union + dice_smooth)
+    dice_term = 1.0 - jnp.mean(dice)
+
+    ce = jnp.where(t, jax.nn.softplus(-d), jax.nn.softplus(d))
+    n_tumor = jnp.sum(tf, axis=(1, 2)) + bce_smooth
+    n_bg = jnp.sum(1.0 - tf, axis=(1, 2)) + bce_smooth
+    w = jnp.where(t, (class_weight / n_tumor)[:, None, None],
+                  ((1.0 - class_weight) / n_bg)[:, None, None])
+    ce_term = jnp.sum(ce * w) / logits.shape[0]
+    return ce_weight * ce_term + dice_weight * dice_term
+
+
 def dice_bce_loss(logits: Array, targets: Array, ce_weight: float = 1.0,
                   dice_weight: float = 1.0,
                   class_weight: float = 0.5) -> Array:
-    """Balanced CE + Dice combo. Ref loss.py:153-191."""
+    """Balanced CE + Dice combo. Ref loss.py:153-191. Binary inputs take
+    the fused margin-based fast path (identical numerics, fewer HBM
+    passes)."""
+    if logits.shape[-1] == 2:
+        return _dice_bce_binary_fast(logits, targets, ce_weight,
+                                     dice_weight, class_weight)
     return (ce_weight * balanced_ce_loss(logits, targets, class_weight)
             + dice_weight * dice_loss(logits, targets,
                                       ignore_background=True))
