@@ -132,3 +132,65 @@ def test_forward_parity_with_reference(model_type, bilinear, rng):
     # fp32 noise of O(1e-4) accumulates across the 23-conv stack; wiring
     # errors would produce O(1) differences.
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.skipif(not REF.exists(), reason='reference repo not mounted')
+def test_gradient_parity_with_reference(rng):
+    """Port reference weights, run one train-mode forward+backward with
+    the dice_bce loss in both frameworks on the same batch, and compare
+    parameter gradients. Verifies conv/BN backward wiring, the custom
+    upsample VJP, the virtual-concat kernel slicing, and the fused
+    binary loss in one shot."""
+    torch = pytest.importorskip('torch')
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    from unet.models import UNet as TUNet
+    from unet.utils.loss import DiceBCELoss
+
+    from unet_tpu.train.losses import dice_bce_loss
+    from unet_tpu.utils.torch_port import convert_torch_state_dict
+
+    tmodel = TUNet(n_channels=1, n_classes=2, bilinear=True,
+                   base_features=8)
+    tmodel.train()
+    model = create_model('unet', bilinear=True, base_features=8)
+    variables = _init(model, hw=32)
+    variables = convert_torch_state_dict(tmodel.state_dict(), variables)
+
+    x = rng.standard_normal((2, 32, 32, 1), dtype=np.float32)
+    y = (rng.random((2, 32, 32)) > 0.8).astype(np.int64)
+
+    # torch grads
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(False)
+    loss_t = DiceBCELoss()(tmodel(xt), torch.from_numpy(y))
+    loss_t.backward()
+
+    # jax grads
+    def loss_of(params):
+        logits, _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            jnp.asarray(x), train=True, mutable=['batch_stats'])
+        return dice_bce_loss(logits, jnp.asarray(y))
+    loss_j, grads = jax.value_and_grad(loss_of)(variables['params'])
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t.item()),
+                               rtol=1e-4)
+
+    from unet_tpu.utils.torch_port import _torch_prefix
+    from flax.traverse_util import flatten_dict
+    tgrads = {n: p.grad for n, p in tmodel.named_parameters()}
+    checked = 0
+    for path, g in flatten_dict(grads).items():
+        *mods, leaf = path
+        prefix = _torch_prefix(tuple(mods))
+        name = {'kernel': 'weight', 'scale': 'weight',
+                'bias': 'bias'}[leaf]
+        tg = tgrads[f'{prefix}.{name}'].numpy()
+        if leaf == 'kernel':
+            tg = tg.transpose(2, 3, 1, 0)
+        g = np.asarray(g)
+        scale = max(np.abs(tg).max(), 1e-6)
+        np.testing.assert_allclose(g / scale, tg / scale, atol=5e-3,
+                                   err_msg=str(path))
+        checked += 1
+    assert checked > 40
