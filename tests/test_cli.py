@@ -1,0 +1,138 @@
+"""CLI-level integration tests (CPU, tiny configs): train end-to-end,
+checkpoint artifacts, resume invariance, predict on real files."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _write_config(tmp_path, **overrides):
+    cfg = {
+        'model': {'type': 'unet', 'n_channels': 1, 'n_classes': 2,
+                  'bilinear': True, 'base_features': 4,
+                  'deep_supervision': False},
+        'data': {'root': str(tmp_path / 'none'), 'img_size': 32,
+                 'val_ratio': 0.2, 'batch_size': 4, 'num_workers': 2},
+        'train': {'epochs': 2, 'lr': 0.001, 'weight_decay': 0.0001,
+                  'grad_clip': 1.0, 'accumulation_steps': 2},
+        'scheduler': {'type': 'cosine_annealing', 'min_lr': 1e-6},
+        'ema': {'enabled': False},
+        'early_stopping': {'enabled': True, 'patience': 30,
+                           'monitor': 'class_dice.tumor', 'mode': 'max'},
+        'loss': {'type': 'dice_bce', 'balanced_class_weight': 0.5,
+                 'ce_weight': 1.0, 'dice_weight': 1.0},
+        'augmentation': {'enabled': False},
+        'output': {'save_dir': str(tmp_path / 'runs'),
+                   'experiment_name': 'test', 'save_last': True,
+                   'save_best': True},
+        'seed': 42,
+        'device': '',
+        'tpu': {'compute_dtype': 'float32', 'data_parallel': 1},
+    }
+    for key, sub in overrides.items():
+        cfg[key].update(sub)
+    p = tmp_path / 'cfg.yaml'
+    p.write_text(yaml.safe_dump(cfg))
+    return p
+
+
+def _run_train(cfg_path, *extra):
+    from unet_tpu.cli.train import main, parse_args
+    argv = ['train', '--config', str(cfg_path), '--synthetic', *extra]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        return main()
+    finally:
+        sys.argv = old
+
+
+def test_train_cli_end_to_end(tmp_path):
+    cfg = _write_config(tmp_path)
+    history = _run_train(cfg)
+    assert len(history['train_loss']) == 2
+    assert history['train_loss'][1] < history['train_loss'][0] * 1.5
+    run = tmp_path / 'runs' / 'test'
+    assert (run / 'training_curves.png').exists()
+    assert (run / 'weights' / 'last' / 'meta.json').exists()
+    meta = json.loads((run / 'weights' / 'last' / 'meta.json').read_text())
+    assert meta['epoch'] == 1
+    assert meta['config']['model']['type'] == 'unet'
+
+
+def test_train_resume_invariance(tmp_path):
+    """train(4 epochs) == train(2) + resume(2 more): final params equal
+    modulo data-order randomness — so we pin shuffling by comparing the
+    restored state's step counter and continuing losses."""
+    import jax
+
+    cfg4 = _write_config(tmp_path, train={'epochs': 4})
+    h4 = _run_train(cfg4, '--name', 'full')
+
+    cfg2 = _write_config(tmp_path, train={'epochs': 2})
+    _run_train(cfg2, '--name', 'part')
+    cfg4b = _write_config(tmp_path, train={'epochs': 4})
+    h_resumed = _run_train(
+        cfg4b, '--name', 'resumed', '--resume',
+        str(tmp_path / 'runs' / 'part' / 'weights' / 'last'))
+    # resumed run trains epochs 3..4 only
+    assert len(h_resumed['train_loss']) == 2
+    # both runs end in the same loss regime (exact equality isn't
+    # expected: the loader reshuffles from a fresh epoch-rng)
+    assert abs(h_resumed['train_loss'][-1] - h4['train_loss'][-1]) < 0.5
+
+
+def test_train_cli_ema_and_warmup_cosine(tmp_path, capsys):
+    cfg = _write_config(tmp_path,
+                        scheduler={'type': 'warmup_cosine',
+                                   'warmup_epochs': 1},
+                        ema={'enabled': True, 'decay': 0.9,
+                             'warmup_epochs': 1})
+    _run_train(cfg, '--name', 'ema')
+    out = capsys.readouterr().out
+    assert 'EMA re-initialized' in out
+    assert 'EMA model' in out
+
+
+def test_predict_cli_end_to_end(tmp_path):
+    from PIL import Image
+
+    from unet_tpu.cli.predict import main as predict_main
+
+    cfg = _write_config(tmp_path)
+    _run_train(cfg, '--name', 'for_predict')
+    weights = tmp_path / 'runs' / 'for_predict' / 'weights' / 'best'
+    if not weights.exists():
+        weights = tmp_path / 'runs' / 'for_predict' / 'weights' / 'last'
+
+    src = tmp_path / 'imgs'
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray((rng.random((48, 48)) * 255).astype(np.uint8)
+                        ).save(src / f'im_{i}.png')
+
+    out = tmp_path / 'preds'
+    argv = ['predict', '--weights', str(weights), '--source', str(src),
+            '--output', str(out), '--img-size', '32', '--save-overlay',
+            '--threshold', '0.5,0.7', '--batch-size', '2']
+    old = sys.argv
+    sys.argv = argv
+    try:
+        predict_main()
+    finally:
+        sys.argv = old
+    masks = sorted(out.glob('*_mask.png'))
+    sweeps = sorted(out.glob('*_mask_t0.7.png'))
+    overlays = sorted(out.glob('*_overlay.png'))
+    assert len(masks) == 3 and len(overlays) == 3 and len(sweeps) == 3
+    m = np.asarray(Image.open(masks[0]))
+    assert m.shape == (48, 48)  # restored to original size
+    assert set(np.unique(m)) <= {0, 255}

@@ -95,3 +95,21 @@ def test_driver_dryrun_multichip():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_shard_for_process_partition():
+    from unet_tpu.core.distributed import shard_for_process
+    items = [f'f{i}' for i in range(10)]
+    shards = [shard_for_process(items, index=i, count=3) for i in range(3)]
+    assert sorted(sum(shards, [])) == sorted(items)
+    assert all(len(s) in (3, 4) for s in shards)
+    # deterministic
+    assert shards[0] == shard_for_process(items, index=0, count=3)
+
+
+def test_init_distributed_single_process_noop():
+    from unet_tpu.core.distributed import (init_distributed, process_count,
+                                           process_index)
+    init_distributed()  # must not raise in single-process mode
+    assert process_count() >= 1
+    assert 0 <= process_index() < process_count()

@@ -7,6 +7,12 @@ from unet_tpu.core.mesh import (
     replicated,
     shard_batch,
 )
+from unet_tpu.core.distributed import (
+    init_distributed,
+    process_count,
+    process_index,
+    shard_for_process,
+)
 from unet_tpu.core.setup import (
     donate_argnums,
     enable_compilation_cache,
@@ -19,4 +25,6 @@ __all__ = [
     'replicate', 'DATA_AXIS', 'MODEL_AXIS',
     'enable_compilation_cache', 'enable_nan_debugging',
     'supports_donation', 'donate_argnums',
+    'init_distributed', 'process_count', 'process_index',
+    'shard_for_process',
 ]

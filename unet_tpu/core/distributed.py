@@ -1,0 +1,59 @@
+"""Multi-host (multi-process) support.
+
+The reference is strictly single-process/single-device (SURVEY.md §2.7:
+no torch.distributed anywhere). The TPU-native story: one JAX process
+per host, ``jax.distributed.initialize`` to form the global runtime,
+GSPMD over the global mesh for compute (see core.mesh), and per-process
+sharding of the *input* file list so each host decodes only its slice
+of the dataset (SURVEY.md §5 input-pipeline plan).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, TypeVar
+
+T = TypeVar('T')
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize the multi-process JAX runtime (no-op when single
+    process / already initialized). On Cloud TPU all arguments are
+    auto-detected from the metadata server; pass them explicitly on
+    other fabrics."""
+    import jax
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        # already initialized or single-process environment
+        pass
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def shard_for_process(items: Sequence[T],
+                      index: Optional[int] = None,
+                      count: Optional[int] = None) -> List[T]:
+    """Deterministic strided shard of a (file) list for this process.
+
+    Every process must pass the same ``items`` ordering (e.g. the
+    volume-split file list, which is seed-deterministic). Strided
+    assignment keeps per-volume slices spread across hosts, balancing
+    tumor-containing slices.
+    """
+    if index is None:
+        index = process_index()
+    if count is None:
+        count = process_count()
+    return list(items[index::count])

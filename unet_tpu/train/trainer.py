@@ -79,7 +79,10 @@ def init_train_state(model, rng: Array, sample_input: Array,
     variables = model.init(rng, sample_input, train=False)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
-    ema = EmaState(params=params, batch_stats=batch_stats,
+    # EMA buffers must be distinct copies: aliasing params would make
+    # the same buffer appear twice in a donated train-step argument.
+    ema = EmaState(params=jax.tree.map(jnp.copy, params),
+                   batch_stats=jax.tree.map(jnp.copy, batch_stats),
                    updates=jnp.zeros((), jnp.int32)) if use_ema else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=tx.init(params),
@@ -105,10 +108,12 @@ def ema_update(ema: EmaState, params: Any, batch_stats: Any,
 
 def ema_reinit(state: TrainState) -> TrainState:
     """Re-initialize EMA from the live model at the warmup transition
-    epoch (ref train.py:464-467) and reset its update counter."""
-    return state.replace(ema=EmaState(params=state.params,
-                                      batch_stats=state.batch_stats,
-                                      updates=jnp.zeros((), jnp.int32)))
+    epoch (ref train.py:464-467) and reset its update counter. Copies,
+    not aliases: donated steps need distinct buffers."""
+    return state.replace(
+        ema=EmaState(params=jax.tree.map(jnp.copy, state.params),
+                     batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+                     updates=jnp.zeros((), jnp.int32)))
 
 
 def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
