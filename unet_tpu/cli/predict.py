@@ -119,12 +119,9 @@ def gather_sources(source):
 
 def main():
     args = parse_args()
-    import os
-    if (args.device or '').lower() == 'cpu':
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-        os.environ['JAX_PLATFORM_NAME'] = 'cpu'
-
     import jax
+    if (args.device or '').lower() == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from unet_tpu.train.trainer import make_predict_step
 

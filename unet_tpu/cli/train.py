@@ -82,11 +82,11 @@ def main():
     import os
     from unet_tpu.utils.config import load_config
     config = apply_overrides(load_config(args.config), args)
-    if str(config.get('device', '')).lower() == 'cpu':
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-        os.environ['JAX_PLATFORM_NAME'] = 'cpu'
-
     import jax
+    if str(config.get('device', '')).lower() == 'cpu':
+        # env vars are too late here (TPU plugins may import jax from
+        # sitecustomize at interpreter start) — set the config directly
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
     from unet_tpu.core.setup import donate_argnums, enable_compilation_cache
