@@ -28,7 +28,7 @@ few source rows its tile interpolates from.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -30,7 +30,6 @@ all-reduces over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax
