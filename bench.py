@@ -128,7 +128,7 @@ def main():
         return sps
 
     train_sps = 0.0
-    for batch in (16, 8, 4):
+    for batch in (8, 4, 2):
         try:
             train_sps = bench_train(batch)
             break
