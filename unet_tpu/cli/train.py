@@ -188,7 +188,9 @@ def main():
                          n_classes=model_cfg['n_classes'],
                          bilinear=model_cfg.get('bilinear', True),
                          base_features=model_cfg.get('base_features', 64),
-                         deep_supervision=deep_supervision, dtype=dtype)
+                         deep_supervision=deep_supervision, dtype=dtype,
+                         use_fused_gate=tpu_cfg.get(
+                             'fused_attention_gate'))
     n_classes = model_cfg['n_classes']
 
     # ---- EMA config (code default enabled=True when key absent,
