@@ -135,25 +135,74 @@ def test_forward_parity_with_reference(model_type, bilinear, rng):
 
 
 @pytest.mark.skipif(not REF.exists(), reason='reference repo not mounted')
-def test_gradient_parity_with_reference(rng):
-    """Port reference weights, run one train-mode forward+backward with
-    the dice_bce loss in both frameworks on the same batch, and compare
-    parameter gradients. Verifies conv/BN backward wiring, the custom
-    upsample VJP, the virtual-concat kernel slicing, and the fused
-    binary loss in one shot."""
+def test_train_mode_forward_parity_attention(rng):
+    """Train-mode forward parity for AttentionUNet, including every BN
+    running-stat update. Guards the gate's BN ordering (ref
+    layers.py:183-186): bn_g's batch statistics must come from the
+    UPSAMPLED gate map — the 1x1-conv/bilinear commute is exact, the
+    batch-statistics commute is not (low-res stats differ ~2x)."""
     torch = pytest.importorskip('torch')
     if str(REF) not in sys.path:
         sys.path.insert(0, str(REF))
-    from unet.models import UNet as TUNet
+    from unet.models import AttentionUNet as TAttentionUNet
+
+    from flax.traverse_util import flatten_dict
+    from unet_tpu.utils.torch_port import _torch_prefix, convert_torch_state_dict
+
+    tmodel = TAttentionUNet(n_channels=1, n_classes=2, bilinear=True,
+                            base_features=8)
+    tmodel.train()
+    model = create_model('attention_unet', bilinear=True, base_features=8)
+    variables = _init(model, hw=32)
+    variables = convert_torch_state_dict(tmodel.state_dict(), variables)
+
+    x = rng.standard_normal((2, 32, 32, 1), dtype=np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    want = want.permute(0, 2, 3, 1).numpy()
+    got, updates = model.apply(variables, jnp.asarray(x), train=True,
+                               mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-3)
+
+    # the torch forward above updated its running stats in place; every
+    # flax running mean/var must match (this is what catches stats
+    # computed at the wrong resolution)
+    tstate = {k: np.asarray(v) for k, v in tmodel.state_dict().items()}
+    checked = 0
+    for path, v in flatten_dict(updates['batch_stats']).items():
+        *mods, leaf = path
+        prefix = _torch_prefix(tuple(mods))
+        name = {'mean': 'running_mean', 'var': 'running_var'}[leaf]
+        tv = tstate[f'{prefix}.{name}']
+        scale = max(np.abs(tv).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(v) / scale, tv / scale,
+                                   atol=5e-3, err_msg=str(path))
+        checked += 1
+    assert checked > 40
+
+
+@pytest.mark.skipif(not REF.exists(), reason='reference repo not mounted')
+@pytest.mark.parametrize('model_type', ['unet', 'attention_unet'])
+def test_gradient_parity_with_reference(model_type, rng):
+    """Port reference weights, run one train-mode forward+backward with
+    the dice_bce loss in both frameworks on the same batch, and compare
+    parameter gradients. Verifies conv/BN backward wiring, the custom
+    upsample VJP, the virtual-concat kernel slicing, the attention-gate
+    train-mode BN ordering, and the fused binary loss in one shot."""
+    torch = pytest.importorskip('torch')
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    from unet.models import UNet as TUNet, AttentionUNet as TAttentionUNet
     from unet.utils.loss import DiceBCELoss
 
     from unet_tpu.train.losses import dice_bce_loss
     from unet_tpu.utils.torch_port import convert_torch_state_dict
 
-    tmodel = TUNet(n_channels=1, n_classes=2, bilinear=True,
-                   base_features=8)
+    tcls = TUNet if model_type == 'unet' else TAttentionUNet
+    tmodel = tcls(n_channels=1, n_classes=2, bilinear=True,
+                  base_features=8)
     tmodel.train()
-    model = create_model('unet', bilinear=True, base_features=8)
+    model = create_model(model_type, bilinear=True, base_features=8)
     variables = _init(model, hw=32)
     variables = convert_torch_state_dict(tmodel.state_dict(), variables)
 

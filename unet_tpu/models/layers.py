@@ -41,20 +41,62 @@ _BN_MOMENTUM = 0.9
 _BN_EPS = 1e-5
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch.nn.BatchNorm2d's exact semantics.
+
+    Differs from flax ``nn.BatchNorm`` in one detail needed for stored-
+    running-stat parity with the reference: torch normalizes with the
+    BIASED batch variance but updates the running variance with the
+    UNBIASED one (factor n/(n-1), torch _BatchNorm.forward); flax uses
+    the biased variance for both. Mean/var reductions run in float32
+    (same as flax's force_float32_reductions), scale/bias/running stats
+    are float32, and only the normalization elementwise math runs in the
+    compute dtype — halving HBM traffic on the 512x512 feature maps.
+    """
+
+    use_running_average: bool
+    momentum: float = _BN_MOMENTUM  # old-stat fraction (torch: 0.1 new)
+    epsilon: float = _BN_EPS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        feats = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones_init(),
+                           (feats,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (feats,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((feats,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((feats,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            # f32 accumulation; under GSPMD the batch-axis reduction is
+            # global, so stats are effective-batch stats on any mesh
+            mean = jnp.mean(x, axes, dtype=jnp.float32)
+            mu2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axes)
+            var = jnp.maximum(mu2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbias = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * unbias
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return ((x.astype(self.dtype) - mean.astype(self.dtype)) * mul
+                + bias.astype(self.dtype))
+
+
 def _bn(train: bool, name: str, dtype=jnp.float32):
-    """BatchNorm in the block's compute dtype. Mean/variance reductions
-    are always performed in float32 by flax (force_float32_reductions),
-    and scale/bias/running stats live in float32 (param_dtype) — only
-    the normalization elementwise math runs in bf16, halving HBM
-    traffic on the 512x512 feature maps."""
-    return nn.BatchNorm(
-        use_running_average=not train,
-        momentum=_BN_MOMENTUM,
-        epsilon=_BN_EPS,
-        dtype=dtype,
-        param_dtype=jnp.float32,
-        name=name,
-    )
+    return TorchBatchNorm(use_running_average=not train, dtype=dtype,
+                          name=name)
 
 
 class DoubleConv(nn.Module):
@@ -236,14 +278,22 @@ class AttentionGate(nn.Module):
                 (bg + bx).astype(jnp.float32), kp.astype(x.dtype),
                 bp[0])
 
-        # The reference computes W_g(BN) on the UPSAMPLED gate
-        # (ref layers.py:183-187). A 1x1 conv and a per-channel affine
-        # both commute exactly with bilinear interpolation, so we apply
-        # them at low resolution first and upsample the (smaller)
-        # inter-channel result — identical math, ~4x fewer gate-conv
-        # FLOPs and about half the upsample traffic.
-        g1 = bn_g(w_g(g))
-        g1 = resize_bilinear_align_corners(g1, x.shape[1], x.shape[2])
+        # The reference computes BN(W_g(.)) on the UPSAMPLED gate
+        # (ref layers.py:183-187). The 1x1 conv is linear, so it commutes
+        # exactly with bilinear interpolation — we always run it at low
+        # resolution (~4x fewer gate-conv FLOPs). BN only commutes when
+        # it is a pure per-channel affine (eval mode): in train mode its
+        # batch mean/var must be computed from the upsampled map or the
+        # normalization and the stored running stats diverge from the
+        # reference's. Hence: eval normalizes low-res then upsamples;
+        # train upsamples first, then applies BN.
+        if train:
+            g1 = resize_bilinear_align_corners(w_g(g), x.shape[1],
+                                               x.shape[2])
+            g1 = bn_g(g1)
+        else:
+            g1 = bn_g(w_g(g))
+            g1 = resize_bilinear_align_corners(g1, x.shape[1], x.shape[2])
         x1 = bn_x(w_x(x))
         a = nn.relu(g1 + x1)
         a = nn.sigmoid(bn_psi(psi(a)))
