@@ -101,6 +101,66 @@ def test_train_cli_ema_and_warmup_cosine(tmp_path, capsys):
     assert 'EMA model' in out
 
 
+def test_predict_cli_serves_reference_pt_checkpoint(tmp_path):
+    """A reference user's torch .pt checkpoint (ref callbacks.py:185-196
+    payload with embedded config) is served directly by our predict CLI,
+    and the masks match torch's own predictions."""
+    torch = pytest.importorskip('torch')
+    from PIL import Image
+
+    REF = Path('/root/reference')
+    if not REF.exists():
+        pytest.skip('reference repo not mounted')
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    from unet.models import AttentionUNet as TAttentionUNet
+
+    from unet_tpu.cli.predict import main as predict_main
+
+    torch.manual_seed(0)
+    tmodel = TAttentionUNet(n_channels=1, n_classes=2, bilinear=True,
+                            base_features=8)
+    tmodel.eval()
+    ckpt = tmp_path / 'best.pt'
+    torch.save({
+        'epoch': 7,
+        'model_state_dict': tmodel.state_dict(),
+        'metrics': {'class_dice': {'tumor': 0.5}},
+        'config': {'model': {'type': 'attention_unet', 'n_channels': 1,
+                             'n_classes': 2, 'bilinear': True,
+                             'base_features': 8,
+                             'deep_supervision': False}},
+    }, ckpt)
+
+    src = tmp_path / 'imgs'
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    imgs = []
+    for i in range(2):
+        a = (rng.random((32, 32)) * 255).astype(np.uint8)
+        imgs.append(a)
+        Image.fromarray(a).save(src / f'im_{i}.png')
+
+    out = tmp_path / 'pt_preds'
+    argv = ['predict', '--weights', str(ckpt), '--source', str(src),
+            '--output', str(out), '--img-size', '32', '--batch-size', '2']
+    old = sys.argv
+    sys.argv = argv
+    try:
+        predict_main()
+    finally:
+        sys.argv = old
+
+    for i, a in enumerate(imgs):
+        got = np.asarray(Image.open(out / f'im_{i}_mask.png')) > 127
+        x = (a.astype(np.float32) / 255.0 - 0.5) / 0.5
+        with torch.no_grad():
+            logits = tmodel(torch.from_numpy(x[None, None]))
+        want = (torch.softmax(logits, 1)[0, 1].numpy() > 0.5)
+        # fp noise can flip pixels whose prob sits exactly at threshold
+        assert (got != want).mean() < 0.02
+
+
 def test_predict_cli_end_to_end(tmp_path):
     from PIL import Image
 

@@ -170,6 +170,32 @@ def test_augment_statistics(rng):
     assert 0.2 < rate < 0.4, rate
 
 
+def test_coarse_dropout_hole_dims_independent(rng):
+    """Hole height and width must be sampled from independent keys
+    (albumentations semantics). With H == W, key reuse makes every hole
+    exactly square — detect that by recovering each hole's bounding box
+    from a white image."""
+    from unet_tpu.data.augmentations import _coarse_dropout
+
+    n, hw = 64, 96
+    images = np.ones((n, hw, hw, 1), np.float32)
+    cfg = AugmentConfig(p_dropout=1.0, dropout_holes_max=1,
+                        hole_frac_min=0.10, hole_frac_max=0.40)
+    out = np.asarray(_coarse_dropout(jax.random.key(7),
+                                     jnp.asarray(images), cfg))
+    heights, widths = [], []
+    for i in range(n):
+        zero_rows = np.where((out[i, :, :, 0] == 0).any(axis=1))[0]
+        zero_cols = np.where((out[i, :, :, 0] == 0).any(axis=0))[0]
+        assert zero_rows.size and zero_cols.size
+        heights.append(zero_rows.size)
+        widths.append(zero_cols.size)
+    heights, widths = np.asarray(heights), np.asarray(widths)
+    # key reuse => |h - w| <= 1 everywhere (rounding); independence =>
+    # most samples differ by several pixels at these fractions
+    assert (np.abs(heights - widths) > 1).mean() > 0.5
+
+
 def test_normalize_batch():
     x = jnp.asarray([[0.0, 0.5, 1.0]])
     np.testing.assert_allclose(np.asarray(normalize_batch(x)),

@@ -51,6 +51,9 @@ def test_fold_bn_into_conv(rng):
 def test_shape_guard():
     assert fused_shapes_supported((1, 32, 32, 512), (1, 64, 64, 512))
     assert not fused_shapes_supported((1, 4, 4, 512), (1, 8, 8, 512))
+    # non-2x ratios exceed the kernel's rg-row DMA window
+    assert not fused_shapes_supported((1, 32, 32, 512), (1, 128, 128, 512))
+    assert not fused_shapes_supported((1, 32, 32, 512), (1, 64, 128, 512))
 
 
 def test_module_fused_path_matches_xla(monkeypatch, rng):

@@ -45,12 +45,21 @@ def parse_args():
 
 def load_model(weights_dir, dtype=None):
     """Rebuild architecture from checkpoint-embedded config and restore
-    weights (ref predict.py:60-97)."""
+    weights (ref predict.py:60-97). Accepts either this framework's
+    Orbax checkpoint directory or a reference torch ``.pt``/``.pth``
+    file — reference users can serve their existing checkpoints
+    directly (weights are converted via utils/torch_port)."""
     import jax.numpy as jnp
     from unet_tpu.models import create_model
     from unet_tpu.train.callbacks import CheckpointManager
 
-    meta = CheckpointManager.read_meta(weights_dir)
+    torch_state = None
+    if Path(weights_dir).is_file():
+        from unet_tpu.utils.torch_port import load_torch_checkpoint
+        torch_state, cfg, epoch = load_torch_checkpoint(weights_dir)
+        meta = {'config': cfg, 'epoch': epoch}
+    else:
+        meta = CheckpointManager.read_meta(weights_dir)
     cfg = (meta.get('config') or {})
     mcfg = cfg.get('model', {})
     mtype = mcfg.get('type', 'unet').lower()
@@ -67,7 +76,18 @@ def load_model(weights_dir, dtype=None):
         base_features=mcfg.get('base_features', 64),
         deep_supervision=mcfg.get('deep_supervision', False),
         dtype=dtype)
-    variables = CheckpointManager.restore_model(weights_dir)
+    if torch_state is not None:
+        import jax
+        from unet_tpu.utils.torch_port import convert_torch_state_dict
+        template = jax.eval_shape(
+            lambda k, x: model.init(k, x, train=False),
+            jax.random.key(0),
+            jax.ShapeDtypeStruct((1, 64, 64, model.n_channels),
+                                 jnp.float32))
+        variables = convert_torch_state_dict(torch_state, template)
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        variables = CheckpointManager.restore_model(weights_dir)
     return model, variables, meta
 
 

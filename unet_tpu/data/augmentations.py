@@ -246,12 +246,14 @@ def _coarse_dropout(key: Array, images: Array, cfg: AugmentConfig) -> Array:
     without mask fill, augmentations.py:80-86)."""
     n, h, w, _ = images.shape
     kmax = cfg.dropout_holes_max
-    k = jax.random.split(key, 5)
+    k = jax.random.split(key, 6)
     apply = _bernoulli(k[0], cfg.p_dropout, n)
     n_holes = jax.random.randint(k[1], (n,), 1, kmax + 1)
+    # hole height and width are sampled INDEPENDENTLY (albumentations
+    # CoarseDropout semantics) — distinct keys, not a shared one
     hole_h = _uniform(k[2], cfg.hole_frac_min, cfg.hole_frac_max,
                       (n, kmax)) * h
-    hole_w = _uniform(k[2], cfg.hole_frac_min, cfg.hole_frac_max,
+    hole_w = _uniform(k[5], cfg.hole_frac_min, cfg.hole_frac_max,
                       (n, kmax)) * w
     top = _uniform(k[3], 0.0, 1.0, (n, kmax)) * (h - hole_h)
     left = _uniform(k[4], 0.0, 1.0, (n, kmax)) * (w - hole_w)

@@ -146,11 +146,15 @@ def _pick_tile_h(h_out: int, w: int, cx: int, cg: int) -> int:
 def fused_shapes_supported(g_shape, x_shape) -> bool:
     """Whether the Mosaic kernel supports these shapes: small spatial
     dims (init-time dummies, tiny eval images) hit unsupported vector
-    shape casts — fall back to the XLA path there."""
+    shape casts — fall back to the XLA path there. The upsample ratio
+    must be exactly 2x per axis: the kernel DMAs only rg = th//2 + 2
+    source rows per tile, which covers the interpolation stencil for 2x
+    but silently zero-weights out-of-window rows for larger ratios."""
     _, h_in, w_in, _ = g_shape
     _, h_out, w_out, _ = x_shape
     return (min(h_in, w_in) >= 16 and h_out % 8 == 0
-            and w_out % 8 == 0 and w_in % 8 == 0)
+            and w_out % 8 == 0 and w_in % 8 == 0
+            and h_out == 2 * h_in and w_out == 2 * w_in)
 
 
 def attention_gate_fused(g: jnp.ndarray, x: jnp.ndarray,

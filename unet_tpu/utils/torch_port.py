@@ -80,11 +80,29 @@ def _leaf_to_torch(prefix: str, leaf: str, is_transpose: bool,
     return arr
 
 
+def load_torch_checkpoint(path):
+    """Load a reference ``.pt`` checkpoint file.
+
+    Accepts the reference's ModelCheckpoint payload
+    ({epoch, model_state_dict, optimizer_state_dict, metrics[, config]},
+    ref unet/utils/callbacks.py:185-196) or a bare state dict. Returns
+    ``(state_dict, config, epoch)``. Requires torch (CPU build is fine).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(ckpt, dict) and 'model_state_dict' in ckpt:
+        return (ckpt['model_state_dict'], ckpt.get('config') or {},
+                ckpt.get('epoch'))
+    return ckpt, {}, None
+
+
 def convert_torch_state_dict(state_dict: Mapping[str, Any],
                              variables: Mapping[str, Any]) -> Dict[str, Any]:
-    """Fill a flax variables template (from ``model.init``) with tensors
-    from a reference torch ``state_dict``. Returns plain nested dicts with
-    the same structure: {'params': ..., 'batch_stats': ...}.
+    """Fill a flax variables template (from ``model.init`` or
+    ``jax.eval_shape`` ShapeDtypeStructs) with tensors from a reference
+    torch ``state_dict``. Returns plain nested dicts with the same
+    structure: {'params': ..., 'batch_stats': ...}.
     """
     out = {}
     for coll in ('params', 'batch_stats'):
@@ -101,6 +119,6 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any],
                 raise ValueError(
                     f'shape mismatch at {path}: torch {arr.shape} vs '
                     f'flax {tuple(template.shape)}')
-            new_flat[path] = arr.astype(np.asarray(template).dtype)
+            new_flat[path] = arr.astype(template.dtype)
         out[coll] = unflatten_dict(new_flat)
     return freeze(out).unfreeze()
