@@ -19,15 +19,27 @@ peak, ~35% effective on this conv mix => ~4.5 TFLOP/s sustained; model
 ~9.7 slices/s. vs_baseline = measured / 9.7; the BASELINE.md north-star
 is vs_baseline >= 5.
 
+Secondary MEASURED anchor (BASELINE.md "Measured anchors"): the
+reference's own train step (AttentionUNet b64, DiceBCE, AdamW, batch 1)
+on this host's CPU runs 15.18 s/step at 512px single-thread =
+0.066 slices/s; the GPU estimate above is ~147x that, consistent with
+an RTX-3060-class part vs one Skylake core on conv-heavy fp32 work.
+Sensitivity: a +/-2x error in the GPU estimate moves vs_baseline
+between ~0.5x and ~2x of the reported value — hence the absolute
+numbers (ms/step, TFLOP/s) also reported on stderr, which stand on
+their own.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Details (inference throughput, step time, compile time) go to stderr.
+Details (inference throughput, step time, model TFLOP/s) go to stderr.
 """
 
 import json
 import sys
 import time
 
-EST_REF_TRAIN_SLICES_PER_SEC = 9.7  # see module docstring
+EST_REF_TRAIN_SLICES_PER_SEC = 9.7    # analytic GPU estimate (docstring)
+MEASURED_REF_CPU_SLICES_PER_SEC = 0.066  # measured on this host, 512px
+TRAIN_GFLOP_PER_SLICE = 465.0         # ~155 fwd x3 for fwd+bwd, fp math
 
 IMG = 512
 STEPS = 8
@@ -100,8 +112,9 @@ def main():
         dt = min(times)
         sps = batch * STEPS / dt
         log(f'train[b{batch}]: {sps:.2f} slices/s '
-            f'({dt / STEPS * 1e3:.1f} ms/step)')
-        return sps
+            f'({dt / STEPS * 1e3:.1f} ms/step, '
+            f'{sps * TRAIN_GFLOP_PER_SLICE / 1e3:.1f} TFLOP/s)')
+        return sps, dt / STEPS * 1e3
 
     def bench_infer(batch):
         pred_fn = make_predict_step(model)
@@ -127,19 +140,32 @@ def main():
         log(f'infer[b{batch}]: {sps:.2f} slices/s')
         return sps
 
-    train_sps = 0.0
+    train_sps, ms_step, infer_sps = 0.0, 0.0, 0.0
     for batch in (8, 4, 2):
         try:
-            train_sps = bench_train(batch)
+            train_sps, ms_step = bench_train(batch)
             break
         except Exception as e:
             log(f'train batch {batch} failed ({type(e).__name__}: '
                 f'{str(e)[:120]}); trying smaller')
     try:
-        bench_infer(8)
+        infer_sps = bench_infer(8)
     except Exception as e:
         log(f'infer bench failed: {type(e).__name__}: {str(e)[:120]}')
 
+    # full detail record on stderr (absolute numbers that stand on their
+    # own regardless of baseline-estimate error; schema-stable for
+    # round-over-round comparison)
+    log(json.dumps({
+        'train_slices_per_sec': round(train_sps, 2),
+        'ms_per_step': round(ms_step, 1),
+        'train_tflops': round(train_sps * TRAIN_GFLOP_PER_SLICE / 1e3, 1),
+        'infer_slices_per_sec': round(infer_sps, 2),
+        'vs_gpu_estimate': round(
+            train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2),
+        'vs_measured_cpu_anchor': round(
+            train_sps / MEASURED_REF_CPU_SLICES_PER_SEC, 1),
+    }))
     print(json.dumps({
         'metric': 'train_slices_per_sec_per_chip_512px',
         'value': round(train_sps, 2),
