@@ -58,6 +58,43 @@ def test_pad_to_match_splits_like_torch_fpad(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize('in_hw,out_hw', [
+    ((8, 8), (16, 16)),
+    ((7, 9), (14, 18)),
+    ((16, 16), (5, 11)),
+    ((1, 4), (3, 8)),
+])
+def test_mm_resize_matches_gather_fwd_and_grad(in_hw, out_hw, rng):
+    """The MXU-matmul interpolation (TPU fast path, default off-TPU only
+    via UNET_TPU_MM_RESIZE) must equal the gather+lerp path, gradients
+    included (the matmul backward is the transposed matmul)."""
+    import jax
+    from unet_tpu.ops.resize import _lerp_axis, _lerp_axis_mm
+
+    x = jnp.asarray(rng.standard_normal((2, *in_hw, 3), dtype=np.float32))
+    oh, ow = out_hw
+    mm = lambda v: _lerp_axis_mm(_lerp_axis_mm(v, oh, 1), ow, 2)
+    ga = lambda v: _lerp_axis(_lerp_axis(v, oh, 1), ow, 2)
+    np.testing.assert_allclose(np.asarray(mm(x)), np.asarray(ga(x)),
+                               rtol=1e-5, atol=1e-6)
+    g_mm = jax.grad(lambda v: jnp.sum(jnp.sin(mm(v))))(x)
+    g_ga = jax.grad(lambda v: jnp.sum(jnp.sin(ga(v))))(x)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ga),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mm_resize_env_override(rng, monkeypatch):
+    """UNET_TPU_MM_RESIZE forces the matmul path through the public API
+    (exercises the TPU code path on the CPU test backend)."""
+    monkeypatch.setenv('UNET_TPU_MM_RESIZE', '1')
+    x = rng.standard_normal((1, 9, 11, 2), dtype=np.float32)
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 18, 22))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(xt, size=(18, 22), mode='bilinear',
+                         align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_lerp_axis_custom_vjp_matches_autodiff(rng):
     """The gather-based custom backward must equal autodiff of the raw
     forward (which would lower to scatter-add)."""

@@ -107,16 +107,61 @@ def _lerp_axis_bwd(out_size, axis, in_size, g):
 _lerp_axis.defvjp(_lerp_axis_fwd, _lerp_axis_bwd)
 
 
+@functools.lru_cache(maxsize=None)
+def _ac_interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """The align-corners lerp as a dense (in_size, out_size) matrix:
+    ``out = x @ M`` along the axis. Two nonzeros per column."""
+    idx0, idx1, w1 = _ac_lerp_tables(in_size, out_size)
+    m = np.zeros((in_size, out_size), np.float32)
+    cols = np.arange(out_size)
+    np.add.at(m, (idx0, cols), 1.0 - w1)
+    np.add.at(m, (idx1, cols), w1)
+    return m
+
+
+def _lerp_axis_mm(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    """Interpolation as an MXU matmul against the static interp matrix.
+
+    On TPU the gather-based ``_lerp_axis`` serializes: measured 12.4 ms
+    to 2x-upsample a (8, 256, 256, 64) bf16 tensor — ~20x slower than a
+    memory-bound op should be — and it dominated both the decoder and
+    the attention gates (fwd AND bwd). The dense matmul "wastes" MACs on
+    the zero entries (the matrix is 2-nonzero-per-column banded) but
+    runs on the MXU; its autodiff is just the transposed matmul, so the
+    gather-transpose custom VJP is unnecessary here.
+    """
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    m = jnp.asarray(_ac_interp_matrix(in_size, out_size), x.dtype)
+    y = jax.lax.dot_general(x, m, (((axis,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    # dot_general appends the out dim last; move it back to `axis`
+    perm = list(range(y.ndim - 1))
+    perm.insert(axis, y.ndim - 1)
+    return jnp.transpose(y, perm).astype(x.dtype)
+
+
+def _interp_on_mxu() -> bool:
+    import os
+    forced = os.environ.get('UNET_TPU_MM_RESIZE')
+    if forced is not None:
+        return forced not in ('0', 'false', '')
+    return jax.default_backend() == 'tpu'
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
                                   out_w: int) -> jnp.ndarray:
     """Bilinear align-corners resize of an NHWC (or NHW1/NHW) tensor.
 
     Equivalent to ``F.interpolate(x_nchw, (out_h, out_w), mode='bilinear',
-    align_corners=True)`` modulo layout.
+    align_corners=True)`` modulo layout. On TPU the separable passes run
+    as MXU matmuls (see ``_lerp_axis_mm``); elsewhere as gather+lerp.
     """
+    lerp = _lerp_axis_mm if _interp_on_mxu() else _lerp_axis
     h_axis = 1 if x.ndim >= 3 else 0
-    x = _lerp_axis(x, out_h, h_axis)
-    x = _lerp_axis(x, out_w, h_axis + 1)
+    x = lerp(x, out_h, h_axis)
+    x = lerp(x, out_w, h_axis + 1)
     return x
 
 
