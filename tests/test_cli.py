@@ -68,25 +68,74 @@ def test_train_cli_end_to_end(tmp_path):
 
 
 def test_train_resume_invariance(tmp_path):
-    """train(4 epochs) == train(2) + resume(2 more): final params equal
-    modulo data-order randomness — so we pin shuffling by comparing the
-    restored state's step counter and continuing losses."""
-    import jax
-
+    """Resume must restore the complete TrainState: the optimizer-step
+    counter continues exactly, and two resumes from the same checkpoint
+    reproduce bit-identical loss traces (full determinism => nothing of
+    the restored state is silently re-initialized). A resume must also
+    differ from a fresh init (the restore actually loaded weights)."""
     cfg4 = _write_config(tmp_path, train={'epochs': 4})
     h4 = _run_train(cfg4, '--name', 'full')
+    # 36 synthetic train samples, batch 4, drop_last -> 9 microbatches;
+    # accumulation 2 -> 5 optimizer steps/epoch (4 full + tail flush)
+    meta4 = json.loads((tmp_path / 'runs' / 'full' / 'weights' / 'last'
+                        / 'meta.json').read_text())
+    assert meta4['step'] == 4 * 5
 
     cfg2 = _write_config(tmp_path, train={'epochs': 2})
     _run_train(cfg2, '--name', 'part')
+    part_last = tmp_path / 'runs' / 'part' / 'weights' / 'last'
+    assert json.loads((part_last / 'meta.json').read_text())['step'] == 10
+
     cfg4b = _write_config(tmp_path, train={'epochs': 4})
-    h_resumed = _run_train(
-        cfg4b, '--name', 'resumed', '--resume',
-        str(tmp_path / 'runs' / 'part' / 'weights' / 'last'))
-    # resumed run trains epochs 3..4 only
-    assert len(h_resumed['train_loss']) == 2
+    h_res1 = _run_train(cfg4b, '--name', 'res1', '--resume',
+                        str(part_last))
+    h_res2 = _run_train(cfg4b, '--name', 'res2', '--resume',
+                        str(part_last))
+    # resumed runs train epochs 3..4 only and continue the step counter
+    assert len(h_res1['train_loss']) == 2
+    meta_r = json.loads((tmp_path / 'runs' / 'res1' / 'weights' / 'last'
+                         / 'meta.json').read_text())
+    assert meta_r['epoch'] == 3
+    assert meta_r['step'] == 4 * 5
+    # deterministic loader + restored state => bit-identical traces
+    assert h_res1['train_loss'] == h_res2['train_loss']
+    assert h_res1['val_loss'] == h_res2['val_loss']
+    # the restore actually took effect: a resumed epoch-3 loss is far
+    # below a from-scratch epoch-1 loss
+    assert h_res1['train_loss'][0] < h4['train_loss'][0]
     # both runs end in the same loss regime (exact equality isn't
     # expected: the loader reshuffles from a fresh epoch-rng)
-    assert abs(h_resumed['train_loss'][-1] - h4['train_loss'][-1]) < 0.5
+    assert abs(h_res1['train_loss'][-1] - h4['train_loss'][-1]) < 0.5
+
+
+def test_train_resume_auto_preemption_flow(tmp_path):
+    """Preemption recovery: run 1 epoch, 'die', relaunch the identical
+    command with --resume auto — training continues inside the same run
+    directory from the saved epoch, with no new run dir created."""
+    cfg1 = _write_config(tmp_path, train={'epochs': 1})
+    _run_train(cfg1, '--name', 'auto_exp')
+    run = tmp_path / 'runs' / 'auto_exp'
+    assert json.loads((run / 'weights' / 'last'
+                       / 'meta.json').read_text())['epoch'] == 0
+
+    cfg3 = _write_config(tmp_path, train={'epochs': 3})
+    h = _run_train(cfg3, '--name', 'auto_exp', '--resume', 'auto')
+    assert len(h['train_loss']) == 2  # epochs 2..3 only
+    meta = json.loads((run / 'weights' / 'last' / 'meta.json').read_text())
+    assert meta['epoch'] == 2
+    assert meta['step'] == 3 * 5
+    # continued in place: runs/ holds exactly the one experiment dir
+    assert sorted(p.name for p in (tmp_path / 'runs').iterdir()) \
+        == ['auto_exp']
+
+
+def test_train_resume_auto_fresh_start(tmp_path):
+    """--resume auto with no prior checkpoint falls back to a fresh run."""
+    cfg = _write_config(tmp_path, train={'epochs': 1})
+    h = _run_train(cfg, '--name', 'fresh', '--resume', 'auto')
+    assert len(h['train_loss']) == 1
+    assert (tmp_path / 'runs' / 'fresh' / 'weights' / 'last'
+            / 'meta.json').exists()
 
 
 def test_train_cli_ema_and_warmup_cosine(tmp_path, capsys):

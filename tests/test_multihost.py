@@ -1,0 +1,230 @@
+"""Multi-host training integration: 2-process CPU cluster vs single
+process.
+
+The reference is strictly single-process (SURVEY.md §2.7); the
+TPU-native multi-host story (core/distributed.py + cli/train.py) is:
+``jax.distributed.initialize`` forms the global runtime, every process
+loads only its rows of each global batch (BatchLoader.local_slice),
+``make_array_from_process_local_data`` reassembles global batches, and
+GSPMD inserts the cross-process collectives. These tests launch real
+subprocesses over a localhost coordinator and check the 2-process run
+reproduces the single-process (2-virtual-device) run. The sharp
+correctness check is one-step gradient parity (float-noise tolerance);
+end-of-epoch comparisons are deliberately loose because Adam's early
+steps chaotically amplify psum-order noise on near-zero gradients
+(measured ~2e-3 weight drift after one f32 epoch).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def _write_config(path: Path, save_dir: Path) -> None:
+    path.write_text(f"""
+seed: 7
+data:
+  root: /nonexistent
+  img_size: 32
+  batch_size: 6
+  num_workers: 2
+  val_ratio: 0.2
+model:
+  type: unet
+  n_channels: 1
+  n_classes: 2
+  bilinear: true
+  base_features: 8
+train:
+  epochs: 1
+  lr: 0.0003
+  weight_decay: 0.0001
+  grad_clip: 1.0
+  accumulation_steps: 2
+loss:
+  type: dice_bce
+ema:
+  enabled: false
+scheduler:
+  type: reduce_on_plateau
+early_stopping:
+  enabled: false
+  monitor: class_dice.tumor
+  mode: max
+tpu:
+  compute_dtype: float32
+  data_parallel: -1
+output:
+  save_dir: {save_dir}
+  experiment_name: run
+  save_last: true
+  save_best: true
+""")
+
+
+def _env(n_devices: int) -> dict:
+    env = dict(os.environ)
+    env.update({
+        'JAX_PLATFORM_NAME': 'cpu',
+        'JAX_PLATFORMS': 'cpu',
+        'XLA_FLAGS': f'--xla_force_host_platform_device_count={n_devices}',
+        'PYTHONPATH': f"/root/.axon_site:{REPO}",
+    })
+    return env
+
+
+def _run_single(tmp: Path) -> dict:
+    cfg = tmp / 'single.yaml'
+    _write_config(cfg, tmp / 'single_runs')
+    r = subprocess.run(
+        [sys.executable, 'scripts/train.py', '--config', str(cfg),
+         '--synthetic'],
+        cwd=REPO, env=_env(2), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    meta = json.loads(
+        (tmp / 'single_runs/run/weights/last/meta.json').read_text())
+    return meta
+
+
+GLOO_FLAKE = 'Gloo context initialization failed'
+
+
+def _run_cluster(cmd_for_pid, n_devices=1, tries=2):
+    """Launch a 2-process cluster; retry once if it dies in Gloo
+    *initialization* (a 30 s rendezvous window that an oversubscribed
+    1-core CI host can miss while the peer is still compiling — an
+    environment flake, not a product failure; any post-init error is
+    NOT retried)."""
+    last = None
+    for _ in range(tries):
+        port = _free_port()
+        procs = [subprocess.Popen(cmd_for_pid(port, pid), cwd=REPO,
+                                  env=_env(n_devices),
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+                 for pid in (0, 1)]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        rcs = [p.returncode for p in procs]
+        if rcs == [0, 0]:
+            return outs
+        last = (rcs, outs)
+        if not any(GLOO_FLAKE in o for o in outs):
+            break
+    raise AssertionError(f'cluster failed: rcs={last[0]}\n{last[1][0]}')
+
+
+def _run_multi(tmp: Path) -> dict:
+    import shutil
+    cfg = tmp / 'multi.yaml'
+    _write_config(cfg, tmp / 'multi_runs')
+
+    def cmd(port, pid):
+        if pid == 0 and (tmp / 'multi_runs').exists():
+            shutil.rmtree(tmp / 'multi_runs')  # a retry must not hit run2/
+        return [sys.executable, 'scripts/train.py', '--config', str(cfg),
+                '--synthetic', '--coordinator', f'127.0.0.1:{port}',
+                '--num-processes', '2', '--process-id', str(pid)]
+
+    outs = _run_cluster(cmd)
+    # guard against a silent single-process fallback (each process
+    # would then train independently and the comparison is meaningless)
+    assert 'Multi-host: 2 processes, 2 global devices' in outs[0], outs[0]
+    meta = json.loads(
+        (tmp / 'multi_runs/run/weights/last/meta.json').read_text())
+    return meta
+
+
+@pytest.fixture(scope='module')
+def runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('mh')
+    return tmp, _run_single(tmp), _run_multi(tmp)
+
+
+def test_two_process_training_matches_single_process(runs):
+    tmp, single, multi = runs
+
+    # same epoch saved
+    assert single['epoch'] == multi['epoch'] == 0
+
+    sm, mm = single['metrics'], multi['metrics']
+    # Loose end-of-epoch checks only: Adam's early steps chaotically
+    # amplify the (legitimate) psum-order noise on near-zero gradients
+    # (measured ~2e-3 weight drift after one epoch even in f32), so
+    # end-of-epoch weights/pixels can never be a sharp invariant. The
+    # sharp check is test_two_process_onestep_gradient_parity below.
+    assert abs(sm['pixel_accuracy'] - mm['pixel_accuracy']) < 0.05
+    assert abs(sm['loss'] - mm['loss']) < 0.1
+
+
+def test_multi_process_writes_one_run_dir(runs):
+    tmp, _, _ = runs
+    names = sorted(p.name for p in (tmp / 'multi_runs').iterdir())
+    # process 1 must not create run2/ or scribble artifacts
+    assert names == ['run']
+    files = {p.name for p in (tmp / 'multi_runs/run').iterdir()}
+    assert {'training_curves.png', 'weights'} <= files
+
+
+def _run_worker(args, n_devices=1, **popen_kw):
+    cmd = [sys.executable, str(REPO / 'tests' / 'mh_onestep_worker.py'),
+           *args]
+    return subprocess.Popen(cmd, cwd=REPO, env=_env(n_devices),
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True,
+                            **popen_kw)
+
+
+def _parse_vals(out):
+    vals = {}
+    for line in out.splitlines():
+        if line.startswith('MH_'):
+            k, v = line.split()
+            vals[k] = float(v)
+    return vals
+
+
+def test_two_process_onestep_gradient_parity():
+    """One fwd+bwd on a fixed batch: 2-process cluster must reproduce
+    the single-process loss and global gradient norm to float noise —
+    the only legitimate difference is the cross-process psum order. This
+    is the sharp correctness check for the multi-host batch assembly
+    (a row mix-up or double-counted shard shifts the loss/grad-norm by
+    orders of magnitude more than 1e-5)."""
+    p = _run_worker([], n_devices=2)
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out
+    ref = _parse_vals(out)
+    assert 'MH_LOSS' in ref and 'MH_GNORM' in ref, out
+
+    def cmd(port, pid):
+        return [sys.executable,
+                str(REPO / 'tests' / 'mh_onestep_worker.py'),
+                f'127.0.0.1:{port}', str(pid)]
+
+    outs = _run_cluster(cmd)
+    got = _parse_vals(outs[0])
+    assert abs(got['MH_LOSS'] - ref['MH_LOSS']) < 1e-5, (got, ref)
+    assert abs(got['MH_GNORM'] - ref['MH_GNORM']) \
+        < 1e-4 * (1 + ref['MH_GNORM']), (got, ref)

@@ -41,6 +41,10 @@ def parse_args():
                    help='"cpu" forces the CPU backend')
     p.add_argument('--synthetic', action='store_true',
                    help='use a synthetic dataset (no files needed)')
+    p.add_argument('--synthetic-volumes', type=int, default=12,
+                   help='synthetic dataset: number of volumes')
+    p.add_argument('--synthetic-slices', type=int, default=4,
+                   help='synthetic dataset: slices per volume')
     p.add_argument('--cache', type=str, default=None,
                    help='slice-cache blob path: built (natively) if '
                         'missing, then memory-mapped for zero-decode '
@@ -49,6 +53,12 @@ def parse_args():
                    help='write a jax.profiler trace of epoch 1 here')
     p.add_argument('--debug-nans', action='store_true',
                    help='fail fast on the first NaN (jax_debug_nans)')
+    p.add_argument('--coordinator', type=str, default=None,
+                   help='multi-host: coordinator address host:port')
+    p.add_argument('--num-processes', type=int, default=None,
+                   help='multi-host: total process count')
+    p.add_argument('--process-id', type=int, default=None,
+                   help='multi-host: this process index')
     return p.parse_args()
 
 
@@ -89,13 +99,25 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
 
+    # ---- multi-host runtime (must precede any device query) ----
+    from unet_tpu.core.distributed import (init_distributed, process_count,
+                                           process_index)
+    if args.num_processes and args.num_processes > 1:
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+    n_proc = process_count()
+    is_main = process_index() == 0
+    log = print if is_main else (lambda *a, **k: None)
+
     from unet_tpu.core.setup import donate_argnums, enable_compilation_cache
     enable_compilation_cache()
 
     from unet_tpu.core.mesh import (batch_sharding, create_mesh,
                                     replicate, shard_batch)
     from unet_tpu.data import (AugmentConfig, BatchLoader, SliceDataset,
-                               SyntheticSliceDataset, augment_batch,
+                               SyntheticSliceDataset,
+                               augment_batch_seeded,
                                normalize_batch, prefetch_to_device)
     from unet_tpu.models import create_model
     from unet_tpu.train import (CheckpointManager, EarlyStopping,
@@ -114,21 +136,51 @@ def main():
     validate_config(config)
     seed = config.get('seed', 42)
     set_seed(seed)
-    print(f'Using backend: {describe_devices()}')
+    log(f'Using backend: {describe_devices()}')
+    if n_proc > 1:
+        log(f'Multi-host: {n_proc} processes, '
+            f'{len(jax.devices())} global devices')
 
-    # ---- run dir ----
-    save_dir = increment_path(Path(config['output']['save_dir'])
-                              / config['output']['experiment_name'])
-    weights_dir = save_dir / 'weights'
-    weights_dir.mkdir(parents=True, exist_ok=True)
-    print(f'Results will be saved to: {save_dir}')
+    # ---- resume target (resolve before the run dir: `--resume auto`
+    # continues inside the newest existing run instead of creating a
+    # fresh one — the preemption-recovery flow) ----
+    resume_path = args.resume
+    auto_run_dir = None
+    if resume_path == 'auto':
+        found = CheckpointManager.find_auto_resume(
+            config['output']['save_dir'],
+            config['output']['experiment_name'])
+        if found is None:
+            log('--resume auto: no previous checkpoint found, '
+                'starting fresh')
+            resume_path = None
+        else:
+            resume_path = str(found)
+            auto_run_dir = found.parent.parent
+            log(f'--resume auto: continuing {auto_run_dir}')
+
+    # ---- run dir (process 0 owns all filesystem artifacts) ----
+    if auto_run_dir is not None:
+        save_dir = auto_run_dir
+        weights_dir = save_dir / 'weights'
+    elif is_main:
+        save_dir = increment_path(Path(config['output']['save_dir'])
+                                  / config['output']['experiment_name'])
+        weights_dir = save_dir / 'weights'
+        weights_dir.mkdir(parents=True, exist_ok=True)
+    else:
+        save_dir = (Path(config['output']['save_dir'])
+                    / config['output']['experiment_name'])
+        weights_dir = save_dir / 'weights'
+    log(f'Results will be saved to: {save_dir}')
 
     # ---- data ----
     data_cfg = config['data']
     img_size = data_cfg['img_size']
     batch_size = data_cfg['batch_size']
     if args.synthetic:
-        ds_kwargs = dict(num_volumes=12, slices_per_volume=4,
+        ds_kwargs = dict(num_volumes=args.synthetic_volumes,
+                         slices_per_volume=args.synthetic_slices,
                          img_size=img_size, seed=seed,
                          val_ratio=data_cfg.get('val_ratio', 0.2))
         train_ds = SyntheticSliceDataset(split='train', **ds_kwargs)
@@ -137,7 +189,7 @@ def main():
         from unet_tpu.data.cache import CachedSliceDataset, build_cache
         cache_path = getattr(args, 'cache', None) or data_cfg['cache']
         if not Path(cache_path).exists():
-            print(f'Building slice cache at {cache_path} ...')
+            log(f'Building slice cache at {cache_path} ...')
             build_cache(data_cfg['root'], cache_path, img_size=img_size)
         kw = dict(val_ratio=data_cfg.get('val_ratio', 0.2), seed=seed)
         train_ds = CachedSliceDataset(cache_path, 'train', **kw)
@@ -150,13 +202,20 @@ def main():
                               val_ratio=data_cfg.get('val_ratio', 0.2),
                               seed=seed, img_size=img_size)
     workers = data_cfg.get('num_workers', 8)
+    # Multi-host input sharding: every process computes the same global
+    # sample order and loads only its batch_size/n_proc rows of each
+    # batch (core.distributed design; SURVEY.md §5). Val tail batches
+    # are padded to a static shape and masked in the eval step.
+    local = (process_index(), n_proc) if n_proc > 1 else None
     # uint8 on the wire: 4x less host->device traffic; cast on device
     train_loader = BatchLoader(train_ds, batch_size, shuffle=True,
                                drop_last=True, seed=seed,
-                               num_threads=workers, raw_uint8=True)
+                               num_threads=workers, raw_uint8=True,
+                               local_slice=local)
     val_loader = BatchLoader(val_ds, batch_size, shuffle=False,
-                             num_threads=workers, raw_uint8=True)
-    print(f'Train samples: {len(train_ds)}, Val samples: {len(val_ds)}')
+                             num_threads=workers, raw_uint8=True,
+                             local_slice=local, pad_tail=n_proc > 1)
+    log(f'Train samples: {len(train_ds)}, Val samples: {len(val_ds)}')
 
     aug_cfg_yaml = config.get('augmentation', {})
     augment_enabled = aug_cfg_yaml.get('enabled', True)
@@ -200,7 +259,7 @@ def main():
     ema_decay = ema_cfg.get('decay', 0.99)
     ema_warmup_epochs = ema_cfg.get('warmup_epochs', 5) if use_ema else 0
     if use_ema:
-        print(f'Using EMA with decay={ema_decay}, '
+        log(f'Using EMA with decay={ema_decay}, '
               f'warmup={ema_warmup_epochs} epochs')
 
     # ---- loss ----
@@ -212,7 +271,7 @@ def main():
         class_weights=loss_cfg.get('class_weights'),
         balanced_class_weight=loss_cfg.get('balanced_class_weight', 0.5),
         deep_supervision=deep_supervision)
-    print(f"Loss function: {loss_cfg['type']}"
+    log(f"Loss function: {loss_cfg['type']}"
           + (' + Deep Supervision' if deep_supervision else ''))
 
     # ---- optimizer / state ----
@@ -228,18 +287,19 @@ def main():
     state = replicate(mesh, state)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(state.params))
-    print(f'Model parameters: {n_params:,}')
+    log(f'Model parameters: {n_params:,}')
 
     accum = train_cfg.get('accumulation_steps', 1)
     if accum > 1:
-        print(f'Gradient accumulation: {accum} steps '
+        log(f'Gradient accumulation: {accum} steps '
               f'(effective batch={batch_size * accum})')
 
     train_step = jax.jit(
         make_train_step(model, loss_fn, tx, accum_steps=accum,
                         ema_decay=ema_decay, use_ema=use_ema),
         donate_argnums=donate_argnums(0))
-    eval_step = jax.jit(make_eval_step(model, loss_fn, n_classes))
+    eval_step = jax.jit(make_eval_step(model, loss_fn, n_classes,
+                                       with_weights=n_proc > 1))
 
     # ---- scheduler / callbacks ----
     epochs = train_cfg['epochs']
@@ -256,36 +316,58 @@ def main():
                                    save_last=config['output'].get(
                                        'save_last', True),
                                    save_best=config['output'].get(
-                                       'save_best', True))
+                                       'save_best', True)) if is_main \
+        else None
     metrics = SegmentationMetrics(n_classes, ['background', 'tumor'])
-    print(f'Monitoring metric: {monitor}')
+    log(f'Monitoring metric: {monitor}')
 
     # ---- resume ----
     start_epoch = 0
-    if args.resume:
-        print(f'Resuming from {args.resume}')
-        meta = CheckpointManager.read_meta(args.resume)
-        state = CheckpointManager.restore_state(args.resume, state)
+    if resume_path:
+        log(f'Resuming from {resume_path}')
+        meta = CheckpointManager.read_meta(resume_path)
+        state = CheckpointManager.restore_state(resume_path, state)
         state = replicate(mesh, state)
         if meta.get('scheduler') and sched_kind == 'plateau':
             scheduler.load_state_dict(meta['scheduler'])
         start_epoch = meta.get('epoch', -1) + 1
-        print(f'Resumed from epoch {start_epoch}')
+        log(f'Resumed from epoch {start_epoch} '
+            f'(optimizer step {meta.get("step")})')
+        # seed the best-tracker from the existing best checkpoint so a
+        # post-resume epoch can't demote a better pre-resume 'best'
+        best_meta_p = Path(resume_path).parent / 'best' / 'meta.json'
+        if checkpoint is not None and best_meta_p.exists():
+            prev = CheckpointManager.read_meta(best_meta_p.parent)
+            if prev.get('monitor_value') is not None:
+                checkpoint.best_value = prev['monitor_value']
+                checkpoint.best_epoch = prev.get('epoch', -1)
 
     history = {k: [] for k in ('train_loss', 'val_loss', 'val_dice',
                                'val_iou', 'val_accuracy', 'tumor_dice',
                                'lr')}
 
-    aug_key = jax.random.key(seed + 1)
+    aug_step = 0  # host counter; the PRNG key derives in-program
     micro_bs = batch_size
 
     def run_validation(params, batch_stats):
         metrics.reset()
         total_loss, n_batches = 0.0, 0
-        for images, masks in prefetch_to_device(val_loader, data_sh):
+        for b, (images, masks) in enumerate(
+                prefetch_to_device(val_loader, data_sh)):
             images = normalize_batch(images.astype(jnp.float32) / 255.0)
-            loss, cm = eval_step(params, batch_stats, images,
-                                 masks.astype(jnp.int32))
+            if n_proc > 1:
+                # pad rows (repeated tail samples) get weight 0: the
+                # confusion matrix — hence every monitored metric — is
+                # exact; see make_eval_step(with_weights=True)
+                w = np.zeros((batch_size,), np.float32)
+                w[:val_loader.tail_valid(b)] = 1.0
+                # plain numpy: multi-controller jit treats host arrays
+                # as replicated (identical on every process)
+                loss, cm = eval_step(params, batch_stats, images,
+                                     masks.astype(jnp.int32), w)
+            else:
+                loss, cm = eval_step(params, batch_stats, images,
+                                     masks.astype(jnp.int32))
             total_loss += float(loss)
             n_batches += 1
             metrics.update_from_matrix(cm)
@@ -293,12 +375,12 @@ def main():
         results['loss'] = total_loss / max(n_batches, 1)
         return results
 
-    print('\nStarting training...')
-    print('=' * 60)
+    log('\nStarting training...')
+    log('=' * 60)
     profile_dir = getattr(args, 'profile_dir', None)
     for epoch in range(start_epoch, epochs):
         lr = scheduler(epoch) if sched_kind == 'epoch' else scheduler.lr
-        print(f'\nEpoch {epoch + 1}/{epochs} (lr={lr:.2e})')
+        log(f'\nEpoch {epoch + 1}/{epochs} (lr={lr:.2e})')
         t0 = time.time()
         epoch_trace = trace(profile_dir) if (
             profile_dir and epoch == start_epoch) else None
@@ -310,7 +392,7 @@ def main():
         pending = []  # microbatches awaiting a super-batch
 
         def flush(pending_batches):
-            nonlocal state, aug_key
+            nonlocal state, aug_step
             k = len(pending_batches)
             mask = np.zeros((accum,), np.float32)
             mask[:k] = 1.0
@@ -321,21 +403,24 @@ def main():
             imgs, msks = shard_batch(mesh, (imgs, msks), batch_axis=1)
             imgs = imgs.astype(jnp.float32) / 255.0
             msks = msks.astype(jnp.int32)
-            aug_key, k_use = jax.random.split(aug_key)
             if augment_enabled:
                 flat_i = imgs.reshape(accum * micro_bs, img_size, img_size,
                                       -1)
                 flat_m = msks.reshape(accum * micro_bs, img_size, img_size)
-                flat_i, flat_m = augment_batch(flat_i, flat_m, k_use,
-                                               aug_cfg)
+                sdata = np.asarray([seed + 1, aug_step], np.uint32)
+                aug_step += 1
+                flat_i, flat_m = augment_batch_seeded(flat_i, flat_m,
+                                                      sdata, aug_cfg)
                 imgs = flat_i.reshape(accum, micro_bs, img_size, img_size,
                                       -1)
                 msks = flat_m.reshape(accum, micro_bs, img_size, img_size)
             else:
                 imgs = normalize_batch(imgs)
+            # lr/mask stay host-side: multi-controller jit treats numpy
+            # inputs as replicated; jnp.asarray would commit them to one
+            # local device and clash with the global batch arrays
             state, loss_sum = train_step(state, imgs, msks,
-                                         jnp.float32(lr),
-                                         jnp.asarray(mask))
+                                         np.float32(lr), mask)
             # keep as a device scalar: forcing float() here would stall
             # the async dispatch pipeline every super-batch
             loss_sums.append(loss_sum)
@@ -356,7 +441,7 @@ def main():
         use_ema_for_val = use_ema and epoch >= ema_warmup_epochs
         if use_ema and epoch == ema_warmup_epochs:
             state = ema_reinit(state)
-            print(f'  EMA re-initialized from training model at epoch '
+            log(f'  EMA re-initialized from training model at epoch '
                   f'{epoch + 1}')
         if use_ema_for_val:
             val_params, val_stats = state.ema.params, state.ema.batch_stats
@@ -378,37 +463,47 @@ def main():
             val_results['class_dice'].get('tumor', 0.0))
         history['lr'].append(lr)
 
-        print(f'  Train Loss: {train_loss:.4f}  ({dt:.1f}s, '
+        log(f'  Train Loss: {train_loss:.4f}  ({dt:.1f}s, '
               f'{len(train_ds) / max(dt, 1e-9):.1f} slices/s)')
-        print(f"  Val [{val_model_name}]: Loss={val_results['loss']:.4f} | "
+        log(f"  Val [{val_model_name}]: Loss={val_results['loss']:.4f} | "
               f"Dice={val_results['mean_dice']:.4f} | "
               f"IoU={val_results['mean_iou']:.4f} | "
               f"Acc={val_results['pixel_accuracy']:.4f}")
-        print(f"  Tumor Dice: {val_results['class_dice'].get('tumor', 0):.4f}"
+        log(f"  Tumor Dice: {val_results['class_dice'].get('tumor', 0):.4f}"
               f" | Tumor IoU: {val_results['class_iou'].get('tumor', 0):.4f}")
 
-        # ---- checkpoint (same weights as validated, ref train.py:499) ----
-        sched_state = (scheduler.state_dict() if sched_kind == 'plateau'
-                       else None)
-        checkpoint.save(state, {'params': val_params,
-                                'batch_stats': val_stats},
-                        epoch, val_results, config=config,
-                        scheduler_state=sched_state)
+        # ---- checkpoint (same weights as validated, ref train.py:499;
+        # process 0 only — the state is fully replicated) ----
+        if checkpoint is not None:
+            sched_state = (scheduler.state_dict() if sched_kind == 'plateau'
+                           else None)
+            checkpoint.save(state, {'params': val_params,
+                                    'batch_stats': val_stats},
+                            epoch, val_results, config=config,
+                            scheduler_state=sched_state)
 
         monitored = get_nested_metric(val_results, monitor)
         if sched_kind == 'plateau':
             scheduler.step(monitored)
         if early_stopping and early_stopping(monitored):
-            print('\nEarly stopping triggered!')
+            log('\nEarly stopping triggered!')
             break
 
-    print('\n' + '=' * 60)
-    print('Training complete!')
+    log('\n' + '=' * 60)
+    log('Training complete!')
+    if checkpoint is not None:
+        checkpoint.close()  # drain in-flight async saves before reading
 
+    if not is_main:
+        return history
     plot_training_curves(history, save_path=save_dir / 'training_curves.png')
 
     # ---- reload best + visualize tumor-containing val samples
-    # (ref train.py:531-577) ----
+    # (ref train.py:531-577). Runs on process 0 only, so the apply below
+    # must be a process-local computation: materialize the (replicated)
+    # weights to host first instead of touching the global arrays. ----
+    val_params = jax.tree.map(np.asarray, val_params)
+    val_stats = jax.tree.map(np.asarray, val_stats)
     best_dir = weights_dir / 'best'
     if best_dir.exists():
         restored = CheckpointManager.restore_model(
@@ -417,7 +512,7 @@ def main():
         val_params = restored['params']
         val_stats = restored['batch_stats']
         meta = CheckpointManager.read_meta(best_dir)
-        print(f"Loaded best model from epoch {meta.get('epoch', 0) + 1}")
+        log(f"Loaded best model from epoch {meta.get('epoch', 0) + 1}")
 
     tumor_images, tumor_masks = [], []
     for images, masks in val_loader:
@@ -441,13 +536,13 @@ def main():
                          save_path=save_dir / 'val_predictions.png',
                          class_names=['background', 'tumor'])
     else:
-        print('Warning: no tumor samples found in validation set')
+        log('Warning: no tumor samples found in validation set')
 
-    print(f'\nResults saved to: {save_dir}')
+    log(f'\nResults saved to: {save_dir}')
     if history['tumor_dice']:
         best_dice = max(history['tumor_dice'])
         best_epoch = history['tumor_dice'].index(best_dice) + 1
-        print(f'Best Tumor Dice: {best_dice:.4f} at epoch {best_epoch}')
+        log(f'Best Tumor Dice: {best_dice:.4f} at epoch {best_epoch}')
     return history
 
 

@@ -17,19 +17,32 @@ T = TypeVar('T')
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
+                     process_id: Optional[int] = None,
+                     shutdown_timeout_seconds: int = 1800) -> None:
     """Initialize the multi-process JAX runtime (no-op when single
     process / already initialized). On Cloud TPU all arguments are
     auto-detected from the metadata server; pass them explicitly on
-    other fabrics."""
+    other fabrics.
+
+    ``shutdown_timeout_seconds`` defaults far above jax's 300 s: worker
+    processes exit right after the last step, while process 0 still
+    writes checkpoints/plots — with the default, the workers' shutdown
+    barrier expires and the coordination service kills every process
+    (observed: exit epilogue > 5 min on a loaded host)."""
     import jax
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
+            num_processes=num_processes, process_id=process_id,
+            shutdown_timeout_seconds=shutdown_timeout_seconds)
     except (RuntimeError, ValueError):
+        if num_processes is not None and num_processes > 1:
+            # an explicitly requested multi-process run must not fall
+            # back silently to single-process (each process would train
+            # independently on the full data and scribble over the
+            # other's run dir)
+            raise
         # already initialized or single-process environment
-        pass
 
 
 def process_count() -> int:

@@ -50,8 +50,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, tree: Any, batch_axis: int = 0) -> Any:
     """Place a host batch onto the mesh, sharded along ``batch_axis``.
-    On a 1-device mesh this is a plain transfer (some experimental PJRT
-    backends reject explicit shardings)."""
+
+    Single-process: a plain (possibly sharded) transfer. Multi-process:
+    every process passes its *local* rows — the slice of the global batch
+    owned by its addressable devices — and the global jax.Array is
+    assembled with ``make_array_from_process_local_data`` (the global
+    batch dim is ``process_count * local``). On a 1-device mesh this is
+    a plain transfer (some experimental PJRT backends reject explicit
+    shardings)."""
+    if jax.process_count() > 1:
+        sh = batch_sharding(mesh, batch_axis)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     if mesh.devices.size == 1:
         return jax.tree.map(jax.device_put, tree)
     sh = batch_sharding(mesh, batch_axis)
@@ -59,7 +70,16 @@ def shard_batch(mesh: Mesh, tree: Any, batch_axis: int = 0) -> Any:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Place a pytree onto the mesh fully replicated."""
+    """Place a pytree onto the mesh fully replicated.
+
+    Multi-process: every process must hold the same values (true for
+    seed-deterministic init and for checkpoint restores); the global
+    replicated array is assembled from each process's full copy."""
+    if jax.process_count() > 1:
+        sh = replicated(mesh)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     if mesh.devices.size == 1:
         return jax.tree.map(jax.device_put, tree)
     sh = replicated(mesh)

@@ -1,6 +1,7 @@
 from unet_tpu.data.augmentations import (
     AugmentConfig,
     augment_batch,
+    augment_batch_seeded,
     normalize_batch,
 )
 from unet_tpu.data.dataset import (
@@ -14,5 +15,6 @@ from unet_tpu.data.dataset import (
 
 __all__ = [
     'create_dataloaders', 'SliceDataset', 'SyntheticSliceDataset', 'BatchLoader', 'volume_split',
-    'prefetch_to_device', 'AugmentConfig', 'augment_batch', 'normalize_batch',
+    'prefetch_to_device', 'AugmentConfig', 'augment_batch', 'augment_batch_seeded',
+    'normalize_batch',
 ]

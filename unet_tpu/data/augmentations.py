@@ -321,6 +321,18 @@ def augment_batch(images: Array, masks: Array, key: Array,
     return images, masks
 
 
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def augment_batch_seeded(images: Array, masks: Array, seed_step: Array,
+                         cfg: AugmentConfig) -> Tuple[Array, Array]:
+    """Multi-controller-safe ``augment_batch``: ``seed_step`` is a host
+    (seed, step) uint32 pair and the PRNG key is derived *inside* the
+    program. A process-local key array crossing the jit boundary would
+    clash with the global (mesh-sharded) batch arrays in multi-host
+    runs; host numpy inputs are treated as replicated instead."""
+    key = jax.random.fold_in(jax.random.key(seed_step[0]), seed_step[1])
+    return augment_batch(images, masks, key, cfg)
+
+
 def normalize_batch(images: Array, mean: float = 0.5,
                     std: float = 0.5) -> Array:
     """Val/test 'transform': Normalize(0.5, 0.5) only

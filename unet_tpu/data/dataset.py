@@ -26,7 +26,7 @@ from __future__ import annotations
 import random
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -211,13 +211,35 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
-                 num_threads: int = 8, raw_uint8: bool = False):
+                 num_threads: int = 8, raw_uint8: bool = False,
+                 local_slice: Optional[Tuple[int, int]] = None,
+                 pad_tail: bool = False):
+        """``batch_size`` is always the *global* batch. With
+        ``local_slice=(index, count)`` (multi-host input sharding,
+        SURVEY.md §5) every process computes the same global sample
+        order (same seed) but loads/yields only its contiguous
+        ``batch_size/count`` rows of each batch — the rows its
+        addressable devices own under the batch sharding, so
+        ``make_array_from_process_local_data`` reassembles exactly the
+        single-process global batch. ``pad_tail`` repeats the final
+        sample so the tail batch keeps the full batch shape (callers
+        mask the pad rows; one jitted shape instead of two)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.raw_uint8 = raw_uint8
+        self.pad_tail = pad_tail
+        if local_slice is not None:
+            index, count = local_slice
+            if batch_size % count != 0:
+                raise ValueError(f'global batch {batch_size} not divisible '
+                                 f'by process count {count}')
+            if not (drop_last or pad_tail):
+                raise ValueError('local_slice needs drop_last or pad_tail '
+                                 '(uneven tail batches cannot be sharded)')
+        self.local_slice = local_slice
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -225,6 +247,11 @@ class BatchLoader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def tail_valid(self, batch_index: int) -> int:
+        """Number of real (non-pad) rows in the given global batch."""
+        return min(self.batch_size,
+                   len(self.dataset) - batch_index * self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = np.arange(len(self.dataset))
@@ -238,6 +265,14 @@ class BatchLoader:
             futures = []
             for b in range(nb):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                if self.pad_tail and len(idxs) < self.batch_size:
+                    idxs = np.concatenate([
+                        idxs, np.repeat(idxs[-1:],
+                                        self.batch_size - len(idxs))])
+                if self.local_slice is not None:
+                    index, count = self.local_slice
+                    lb = self.batch_size // count
+                    idxs = idxs[index * lb:(index + 1) * lb]
                 futures.append([pool.submit(load, int(i))
                                 for i in idxs])
             for batch_futs in futures:
@@ -254,9 +289,17 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
     import collections
     buf = collections.deque()
 
+    multiproc = jax.process_count() > 1
+
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
+        if multiproc:
+            # each process holds only its local rows; assemble the
+            # global batch (see core.mesh.shard_batch)
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     it = iter(iterator)

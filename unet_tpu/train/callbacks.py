@@ -94,7 +94,7 @@ class CheckpointManager:
 
     def __init__(self, save_dir, monitor: str = 'class_dice.tumor',
                  mode: str = 'max', save_last: bool = True,
-                 save_best: bool = True):
+                 save_best: bool = True, use_async: bool = True):
         if not _HAS_ORBAX:
             raise ImportError('orbax-checkpoint is required')
         self.save_dir = Path(save_dir)
@@ -105,19 +105,62 @@ class CheckpointManager:
         self.save_best = save_best
         self.best_value = -math.inf if mode == 'max' else math.inf
         self.best_epoch = -1
-        self._ckptr = ocp.StandardCheckpointer()
+        # Async writes (SURVEY.md §5 failure-detection plan): the train
+        # loop hands off *host copies* (_to_host below — the live device
+        # buffers are donated into the next step, so they must be
+        # snapshotted anyway) and the tensor serialization overlaps the
+        # next epoch. wait_until_finished() runs before re-writing the
+        # same directory and at close().
+        self._async = use_async
+        # Multi-host: the train CLI instantiates this manager on
+        # process 0 only (the state is replicated; workers never call
+        # save). Orbax's default save path runs cross-process sync
+        # barriers and would hang / die when the workers exit — scope
+        # it to this process explicitly.
+        kw = {}
+        if jax.process_count() > 1:
+            kw['multiprocessing_options'] = ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()})
+        # StandardCheckpointer is an AsyncCheckpointer (orbax >= 0.11):
+        # save() dispatches serialization to a background thread. Two
+        # instances let the (large) state and (small) model writes both
+        # overlap the next epoch; with use_async=False every _write
+        # drains immediately (tests / strict-durability callers).
+        self._ckptr = ocp.StandardCheckpointer(**kw)
+        self._ckptr_model = (ocp.StandardCheckpointer(**kw) if use_async
+                             else self._ckptr)
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are durable."""
+        self._ckptr.wait_until_finished()
+        self._ckptr_model.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+        if self._async:
+            self._ckptr_model.close()
 
     def _write(self, name: str, state: Any, model_vars: Dict, epoch: int,
                metrics: Dict, config: Optional[Dict],
-               scheduler_state: Optional[Dict]) -> None:
+               scheduler_state: Optional[Dict],
+               step: Optional[int] = None) -> None:
         path = (self.save_dir / name).resolve()
         path.mkdir(parents=True, exist_ok=True)
+        # serialize against the previous in-flight save before
+        # overwriting the same directories
+        self.wait()
         # orbax's save is itself atomic (tmp dir + rename); force=True
         # overwrites the previous epoch's checkpoint.
         self._ckptr.save(path / 'state', _to_host(state), force=True)
-        self._ckptr.save(path / 'model', _to_host(model_vars), force=True)
+        self._ckptr_model.save(path / 'model', _to_host(model_vars),
+                               force=True)
+        if not self._async:
+            self.wait()
         meta = {
             'epoch': int(epoch),
+            'step': None if step is None else int(step),
             'metrics': metrics,
             'config': config,
             'scheduler': scheduler_state,
@@ -130,9 +173,10 @@ class CheckpointManager:
              config: Optional[Dict] = None,
              scheduler_state: Optional[Dict] = None) -> bool:
         """Returns True when this epoch improved the monitored metric."""
+        step = getattr(state, 'step', None)
         if self.save_last:
             self._write('last', state, model_vars, epoch, metrics, config,
-                        scheduler_state)
+                        scheduler_state, step=step)
         value = get_nested_metric(metrics, self.monitor)
         improved = (value > self.best_value if self.mode == 'max'
                     else value < self.best_value)
@@ -141,19 +185,56 @@ class CheckpointManager:
             self.best_epoch = epoch
             if self.save_best:
                 self._write('best', state, model_vars, epoch, metrics,
-                            config, scheduler_state)
+                            config, scheduler_state, step=step)
         return improved
 
     # ---- restore ----
+    @staticmethod
+    def find_auto_resume(save_root, experiment_name: str):
+        """``--resume auto``: newest run dir (exp, exp2, exp3, ...)
+        under ``save_root`` holding a restorable ``weights/last``, or
+        None for a fresh start. The preemption/failure-recovery story
+        (SURVEY.md §5): relaunch with the same config + ``--resume
+        auto`` and training continues in the same run directory."""
+        root = Path(save_root)
+
+        def suffix_num(p: Path) -> int:
+            s = p.name[len(experiment_name):]
+            return int(s) if s.isdigit() else 1
+
+        candidates = [
+            p for p in root.glob(f'{experiment_name}*')
+            if (p.name == experiment_name
+                or p.name[len(experiment_name):].isdigit())
+            and (p / 'weights' / 'last' / 'meta.json').exists()
+            and (p / 'weights' / 'last' / 'state').exists()
+        ]
+        if not candidates:
+            return None
+        return max(candidates, key=suffix_num) / 'weights' / 'last'
+
     @staticmethod
     def read_meta(path) -> Dict:
         return json.loads((Path(path) / 'meta.json').read_text())
 
     @staticmethod
+    def _local_ckptr():
+        """A checkpointer scoped to this process: restores are
+        independent per-process reads (each process loads its own copy
+        of the replicated state), so no cross-process barriers."""
+        kw = {}
+        if jax.process_count() > 1:
+            kw['multiprocessing_options'] = \
+                ocp.options.MultiprocessingOptions(
+                    primary_host=jax.process_index(),
+                    active_processes={jax.process_index()})
+        return ocp.StandardCheckpointer(**kw)
+
+    @staticmethod
     def restore_model(path, target: Optional[Dict] = None) -> Dict:
         """Restore {'params', 'batch_stats'} for inference. ``target``
         (an abstract/concrete template) is optional."""
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = CheckpointManager._local_ckptr()
         p = (Path(path) / 'model').resolve()
         if target is None:
             return ckptr.restore(p)
@@ -164,7 +245,7 @@ class CheckpointManager:
     def restore_state(path, target: Any) -> Any:
         """Restore the full TrainState given a template with the right
         pytree structure (from init_train_state)."""
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = CheckpointManager._local_ckptr()
         p = (Path(path) / 'state').resolve()
         return ckptr.restore(p, target=jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),

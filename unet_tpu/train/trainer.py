@@ -171,9 +171,19 @@ def make_train_step(model, loss_fn: Callable, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model, loss_fn: Callable, num_classes: int) -> Callable:
+def make_eval_step(model, loss_fn: Callable, num_classes: int,
+                   with_weights: bool = False) -> Callable:
     """eval_step(params, batch_stats, images, masks)
-    -> (loss, confusion_matrix). Ref scripts/train.py:164-197."""
+    -> (loss, confusion_matrix). Ref scripts/train.py:164-197.
+
+    ``with_weights=True`` adds a per-sample weight vector argument
+    (multi-host tail batches are padded to a static shape by repeating
+    the last sample; pad rows get weight 0). Weights gate the confusion
+    matrix exactly — pad rows contribute nothing, so Dice/IoU/accuracy
+    match the unpadded computation bit-for-bit. The scalar loss is still
+    over the padded batch (the duplicated tail rows perturb only the
+    reported val loss, never the monitored CM metrics).
+    """
 
     def eval_step(params, batch_stats, images: Array, masks: Array):
         logits = model.apply({'params': params, 'batch_stats': batch_stats},
@@ -182,7 +192,18 @@ def make_eval_step(model, loss_fn: Callable, num_classes: int) -> Callable:
         cm = confusion_matrix_update(logits, masks, num_classes)
         return loss, cm
 
-    return eval_step
+    def eval_step_weighted(params, batch_stats, images: Array, masks: Array,
+                           weights: Array):
+        logits = model.apply({'params': params, 'batch_stats': batch_stats},
+                             images, train=False)
+        loss = loss_fn(logits, masks)
+        # weight-0 rows -> target -1, which confusion_matrix_update drops
+        gated = jnp.where(weights[:, None, None] > 0,
+                          masks.astype(jnp.int32), -1)
+        cm = confusion_matrix_update(logits, gated, num_classes)
+        return loss, cm
+
+    return eval_step_weighted if with_weights else eval_step
 
 
 def make_predict_step(model) -> Callable:
