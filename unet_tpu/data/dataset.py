@@ -153,6 +153,11 @@ class SyntheticSliceDataset:
         names = [f'{v}_slice_{s:04d}.png' for v in range(num_volumes)
                  for s in range(slices_per_volume)]
         self.files = volume_split(names, split, val_ratio, test_ratio, seed)
+        # slices are deterministic per (seed, name): memoize the uint8
+        # form (~0.5MB per 512^2 slice) — regeneration every epoch made
+        # long synthetic runs host-bound (measured 10-15 slices/s end to
+        # end vs 64 on-device)
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return len(self.files)
@@ -181,8 +186,12 @@ class SyntheticSliceDataset:
         return img.astype(np.float32), mask
 
     def load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        img, mask = self.load(idx)
-        return (img * 255).astype(np.uint8), mask.astype(np.uint8)
+        cached = self._cache.get(idx)
+        if cached is None:
+            img, mask = self.load(idx)
+            cached = ((img * 255).astype(np.uint8), mask.astype(np.uint8))
+            self._cache[idx] = cached
+        return cached
 
     def get_sample_info(self, idx: int) -> Dict:
         name = self.files[idx]
