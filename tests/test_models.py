@@ -243,3 +243,35 @@ def test_gradient_parity_with_reference(model_type, rng):
                                    err_msg=str(path))
         checked += 1
     assert checked > 40
+
+
+def test_psi_einsum_matches_conv_lowering(rng, monkeypatch):
+    """_PsiReduce's TPU einsum path (VPU lane-reduction) must equal the
+    conv lowering it replaces, forward and gradient."""
+    import jax
+    import jax.numpy as jnp
+    from unet_tpu.models.layers import _PsiReduce
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    mod = _PsiReduce()
+    v = mod.init(jax.random.key(0), x)
+
+    def run():
+        out = mod.apply(v, x)
+        g = jax.grad(lambda t: jnp.sum(jnp.sin(mod.apply(v, t))))(x)
+        gk = jax.grad(lambda p: jnp.sum(jnp.cos(mod.apply(p, x))))(v)
+        return out, g, gk
+
+    monkeypatch.setenv('UNET_TPU_PSI_EINSUM', '0')
+    o1, g1, gk1 = run()
+    monkeypatch.setenv('UNET_TPU_PSI_EINSUM', '1')
+    o2, g2, gk2 = run()
+    assert o1.shape == o2.shape == (2, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+    k1 = jax.tree.leaves(gk1)[0]
+    k2 = jax.tree.leaves(gk2)[0]
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                               rtol=1e-5, atol=1e-5)
