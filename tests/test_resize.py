@@ -109,3 +109,53 @@ def test_lerp_axis_custom_vjp_matches_autodiff(rng):
         g_raw = jax.grad(f_raw)(x)
         np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_raw),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestMaxPool2x2:
+    """Elementwise-backward pooling (unet_tpu/ops/pool.py) vs flax's
+    reduce_window lowering and torch's argmax-routed gradient."""
+
+    def test_forward_matches_flax(self, rng):
+        import jax.numpy as jnp
+        import flax.linen as nn
+        from unet_tpu.ops.pool import max_pool_2x2
+        x = jnp.asarray(rng.standard_normal((2, 16, 20, 5)), jnp.float32)
+        got = max_pool_2x2(x)
+        want = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_backward_matches_torch_incl_ties(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from unet_tpu.ops.pool import max_pool_2x2
+        x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+        # force exact ties inside windows to pin the tie-routing rule
+        x[0, 0, 0, 0] = x[0, 0, 1, 0] = 1.5          # tie in row 0
+        x[0, 2, 2, 1] = x[0, 3, 3, 1] = 2.5          # diagonal tie
+        x[1, 4:6, 4:6, 2] = 0.75                     # full 4-way tie
+        g_out = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+
+        f = lambda t: jnp.sum(max_pool_2x2(t) * jnp.asarray(g_out))
+        got = np.asarray(jax.grad(f)(jnp.asarray(x)))
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+        y = torch.nn.functional.max_pool2d(xt, 2)
+        y.backward(torch.from_numpy(g_out).permute(0, 3, 1, 2))
+        want = xt.grad.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_bf16_backward_matches_flax_reduce_window(self, rng):
+        """bf16 activations tie often (coarse quantization); the custom
+        backward must still agree with the select_and_scatter lowering
+        it replaces."""
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+        from unet_tpu.ops.pool import max_pool_2x2
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.bfloat16)
+        f1 = lambda t: jnp.sum(max_pool_2x2(t).astype(jnp.float32) ** 2)
+        f2 = lambda t: jnp.sum(nn.max_pool(
+            t, window_shape=(2, 2), strides=(2, 2)).astype(jnp.float32) ** 2)
+        g1 = np.asarray(jax.grad(f1)(x), dtype=np.float32)
+        g2 = np.asarray(jax.grad(f2)(x), dtype=np.float32)
+        np.testing.assert_array_equal(g1, g2)

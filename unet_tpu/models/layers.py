@@ -29,6 +29,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from unet_tpu.ops.pool import max_pool
 from unet_tpu.ops.resize import (
     pad_to_match,
     resize_bilinear_align_corners,
@@ -156,7 +157,9 @@ class Down(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        # elementwise-backward pooling kernel (ops/pool.py): avoids
+        # XLA's slow select_and_scatter in the train step
+        x = max_pool(x)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           name='conv')(x, train)
 
