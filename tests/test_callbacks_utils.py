@@ -88,6 +88,8 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     m2 = {'class_dice': {'tumor': 0.4}}
     assert not mgr.save(state, model_vars, 1, m2)  # worse -> no best update
     assert mgr.best_epoch == 0
+    # meta.json publishes only after the tensor saves are durable
+    mgr.wait()
 
     meta = CheckpointManager.read_meta(tmp_path / 'weights' / 'best')
     assert meta['epoch'] == 0

@@ -228,3 +228,32 @@ def test_two_process_onestep_gradient_parity():
     assert abs(got['MH_LOSS'] - ref['MH_LOSS']) < 1e-5, (got, ref)
     assert abs(got['MH_GNORM'] - ref['MH_GNORM']) \
         < 1e-4 * (1 + ref['MH_GNORM']), (got, ref)
+
+
+def test_multi_process_resume_auto_continues(runs):
+    """Relaunching the 2-process cluster with --resume auto must
+    continue the same run dir from the saved epoch. Exercises the
+    process-0-decides + broadcast resume path (core/distributed.py
+    broadcast_from_main / broadcast_pytree_from_main): only process 0
+    reads the checkpoint; workers receive the TrainState over the
+    coordinator."""
+    tmp, _, _ = runs
+    cfg = tmp / 'multi_resume.yaml'
+    _write_config(cfg, tmp / 'multi_runs')
+    # bump epochs to 2 so the resumed run trains exactly one more epoch
+    cfg.write_text(cfg.read_text().replace('epochs: 1', 'epochs: 2'))
+
+    def cmd(port, pid):
+        return [sys.executable, 'scripts/train.py', '--config', str(cfg),
+                '--synthetic', '--resume', 'auto',
+                '--coordinator', f'127.0.0.1:{port}',
+                '--num-processes', '2', '--process-id', str(pid)]
+
+    outs = _run_cluster(cmd)
+    assert 'Resumed from epoch 1' in outs[0], outs[0]
+    meta = json.loads(
+        (tmp / 'multi_runs/run/weights/last/meta.json').read_text())
+    assert meta['epoch'] == 1
+    # still exactly one run dir: the resume continued in place
+    names = sorted(p.name for p in (tmp / 'multi_runs').iterdir())
+    assert names == ['run']

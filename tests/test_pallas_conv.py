@@ -94,3 +94,16 @@ def test_unsupported_shapes_rejected():
     assert not igemm_shapes_supported((1, 8, 100, 64), (3, 3, 64, 64))
     assert not igemm_shapes_supported((1, 8, 128, 32), (3, 3, 32, 64))
     assert not igemm_shapes_supported((1, 8, 128, 64), (1, 1, 64, 64))
+
+
+def test_guard_accounts_for_itemsize():
+    """The VMEM-budget guard must use the caller's real dtype width:
+    a shape that fits in bf16 tiles may not fit in f32 tiles, and the
+    guard's answer must match what _pick_tile_h gives the kernel."""
+    from unet_tpu.ops.pallas.conv3x3 import _pick_tile_h
+
+    shape, k = (8, 512, 512, 64), (3, 3, 64, 128)
+    for itemsize in (2, 4):
+        guard = igemm_shapes_supported(shape, k, itemsize=itemsize)
+        th = _pick_tile_h(shape[1], shape[2], k[2], k[3], itemsize)
+        assert guard == (th > 0), (itemsize, guard, th)

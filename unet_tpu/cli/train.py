@@ -143,10 +143,28 @@ def main():
 
     # ---- resume target (resolve before the run dir: `--resume auto`
     # continues inside the newest existing run instead of creating a
-    # fresh one — the preemption-recovery flow) ----
+    # fresh one — the preemption-recovery flow). Multi-host: ONLY
+    # process 0 consults the filesystem (checkpoints live on its disk);
+    # its decision is broadcast so every process runs the same control
+    # flow — workers independently resolving against their own (empty)
+    # disks would diverge into mismatched collective programs. ----
     resume_path = args.resume
     auto_run_dir = None
-    if resume_path == 'auto':
+    if n_proc > 1:
+        from unet_tpu.core.distributed import broadcast_from_main
+        if is_main and resume_path == 'auto':
+            found = CheckpointManager.find_auto_resume(
+                config['output']['save_dir'],
+                config['output']['experiment_name'])
+            resume_path = None if found is None else str(found)
+        resume_path = broadcast_from_main(resume_path)
+        if args.resume == 'auto' and resume_path is not None:
+            auto_run_dir = Path(resume_path).parent.parent
+        if args.resume == 'auto':
+            log('--resume auto: '
+                + (f'continuing {auto_run_dir}' if resume_path
+                   else 'no previous checkpoint found, starting fresh'))
+    elif resume_path == 'auto':
         found = CheckpointManager.find_auto_resume(
             config['output']['save_dir'],
             config['output']['experiment_name'])
@@ -335,8 +353,29 @@ def main():
     start_epoch = 0
     if resume_path:
         log(f'Resuming from {resume_path}')
-        meta = CheckpointManager.read_meta(resume_path)
-        state = CheckpointManager.restore_state(resume_path, state)
+        if n_proc > 1:
+            # checkpoint files exist only on process 0: it restores and
+            # broadcasts the full TrainState + the control metadata;
+            # workers contribute a same-structure tree (values ignored)
+            from unet_tpu.core.distributed import (
+                broadcast_from_main, broadcast_pytree_from_main)
+            if is_main:
+                meta = CheckpointManager.read_meta(resume_path)
+                restored = CheckpointManager.restore_state(resume_path,
+                                                           state)
+                host_state = jax.tree.map(np.asarray, restored)
+            else:
+                meta = None
+                host_state = jax.tree.map(np.asarray, state)
+            meta = broadcast_from_main(
+                None if meta is None else {
+                    'epoch': meta.get('epoch', -1),
+                    'step': meta.get('step'),
+                    'scheduler': meta.get('scheduler')})
+            state = broadcast_pytree_from_main(host_state)
+        else:
+            meta = CheckpointManager.read_meta(resume_path)
+            state = CheckpointManager.restore_state(resume_path, state)
         state = replicate(mesh, state)
         if meta.get('scheduler') and sched_kind == 'plateau':
             scheduler.load_state_dict(meta['scheduler'])
@@ -345,6 +384,7 @@ def main():
             f'(optimizer step {meta.get("step")})')
         # seed the best-tracker from the existing best checkpoint so a
         # post-resume epoch can't demote a better pre-resume 'best'
+        # (process 0 only — it owns the checkpoint manager)
         best_meta_p = Path(resume_path).parent / 'best' / 'meta.json'
         if checkpoint is not None and best_meta_p.exists():
             prev = CheckpointManager.read_meta(best_meta_p.parent)
@@ -394,6 +434,14 @@ def main():
     log('\nStarting training...')
     log('=' * 60)
     profile_dir = getattr(args, 'profile_dir', None)
+    # pre-assign the validated weights: a resume of an already-finished
+    # run (start_epoch == epochs) skips the loop entirely and the
+    # post-loop best-reload/visualization must still work
+    if use_ema and start_epoch > ema_warmup_epochs and state.ema is not None:
+        val_params, val_stats = state.ema.params, state.ema.batch_stats
+    else:
+        val_params, val_stats = state.params, state.batch_stats
+
     for epoch in range(start_epoch, epochs):
         lr = scheduler(epoch) if sched_kind == 'epoch' else scheduler.lr
         log(f'\nEpoch {epoch + 1}/{epochs} (lr={lr:.2e})')

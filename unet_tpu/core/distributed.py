@@ -55,6 +55,41 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def broadcast_from_main(obj=None):
+    """Broadcast a small JSON-serializable object from process 0 to all
+    processes (two ``broadcast_one_to_all`` rounds: length, then bytes).
+
+    Used for control-flow decisions every process must agree on — e.g.
+    the resume decision: checkpoints live only on process 0's
+    filesystem, so workers resolving ``--resume auto`` against their
+    own (empty) disks would silently diverge (different start epochs =>
+    mismatched collective programs => deadlock)."""
+    import json
+
+    import numpy as np
+    import jax
+    from jax.experimental import multihost_utils as mhu
+
+    payload = (json.dumps(obj).encode() if jax.process_index() == 0
+               else b'')
+    n = int(np.asarray(mhu.broadcast_one_to_all(
+        np.asarray([len(payload)], np.int32)))[0])
+    buf = np.zeros((max(n, 1),), np.uint8)
+    if jax.process_index() == 0:
+        buf[:n] = np.frombuffer(payload, np.uint8)
+    data = np.asarray(mhu.broadcast_one_to_all(buf)).tobytes()[:n]
+    return json.loads(data.decode())
+
+
+def broadcast_pytree_from_main(tree):
+    """Broadcast a pytree of host arrays from process 0 (other
+    processes pass a same-structure tree whose values are ignored).
+    Returns fully-replicated global arrays on every process."""
+    from jax.experimental import multihost_utils as mhu
+
+    return mhu.broadcast_one_to_all(tree)
+
+
 def shard_for_process(items: Sequence[T],
                       index: Optional[int] = None,
                       count: Optional[int] = None) -> List[T]:

@@ -14,6 +14,17 @@ import os
 from pathlib import Path
 
 
+def env_flag(name: str, default: bool) -> bool:
+    """Consistent boolean env-var parsing for the TPU-path toggles
+    (UNET_TPU_MM_RESIZE / UNET_TPU_PSI_EINSUM /
+    UNET_TPU_ELEMENTWISE_POOL): unset -> ``default``; '0'/'false'/''
+    (case-insensitive) -> False; anything else -> True."""
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() not in ('0', 'false', '')
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Turn on JAX's persistent compilation cache (idempotent)."""
     import jax

@@ -230,11 +230,9 @@ class _PsiReduce(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (1, 1, c, 1), jnp.float32)
         a = a.astype(self.dtype)
-        import os
-        forced = os.environ.get('UNET_TPU_PSI_EINSUM')
-        use_einsum = (forced not in ('0', 'false', '') if forced is not None
-                      else jax.default_backend() == 'tpu')
-        if use_einsum:
+        from unet_tpu.core.setup import env_flag
+        if env_flag('UNET_TPU_PSI_EINSUM',
+                    jax.default_backend() == 'tpu'):
             k = kernel.reshape(c).astype(self.dtype)
             return jnp.einsum('nhwc,c->nhw', a, k)[..., None]
         # off-TPU: the same conv lowering nn.Conv used, so CPU golden

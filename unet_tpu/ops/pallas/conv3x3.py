@@ -147,11 +147,13 @@ def _pick_tile_h(h: int, w: int, cin: int, cout: int,
     return 0
 
 
-def igemm_shapes_supported(x_shape, k_shape) -> bool:
+def igemm_shapes_supported(x_shape, k_shape, itemsize: int = 2) -> bool:
     """Shapes this kernel handles: 3x3 stride-1 SAME convs with MXU-able
     channel counts and row-tileable spatial dims. Cin/Cout below 64
     (e.g. the 1->64 stem or logits heads) stay on XLA — their lane dims
-    are too narrow to pack."""
+    are too narrow to pack. ``itemsize`` is the input dtype's byte width
+    (2 = bf16 default; pass 4 for f32 — the VMEM tile budget differs, so
+    the guard must use the same bytes the kernel will)."""
     if len(k_shape) != 4 or tuple(k_shape[:2]) != (3, 3):
         return False
     _, h, w, cin = x_shape
@@ -162,7 +164,7 @@ def igemm_shapes_supported(x_shape, k_shape) -> bool:
         return False
     if w % 128 or h % 8:
         return False
-    return _pick_tile_h(h, w, cin, cout, 2) > 0
+    return _pick_tile_h(h, w, cin, cout, itemsize) > 0
 
 
 def _conv3x3_pallas(x: jnp.ndarray, k: jnp.ndarray,

@@ -73,8 +73,8 @@ def max_pool(x: jnp.ndarray) -> jnp.ndarray:
     reduce_window lowering (measured faster end-to-end — see module
     docstring); ``UNET_TPU_ELEMENTWISE_POOL=1`` opts into the
     elementwise-backward kernel (even H/W only)."""
-    import os
-    if (os.environ.get('UNET_TPU_ELEMENTWISE_POOL') in ('1', 'true')
+    from unet_tpu.core.setup import env_flag
+    if (env_flag('UNET_TPU_ELEMENTWISE_POOL', False)
             and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         return max_pool_2x2(x)
     import flax.linen as nn

@@ -143,11 +143,9 @@ def _lerp_axis_mm(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
 
 
 def _interp_on_mxu() -> bool:
-    import os
-    forced = os.environ.get('UNET_TPU_MM_RESIZE')
-    if forced is not None:
-        return forced not in ('0', 'false', '')
-    return jax.default_backend() == 'tpu'
+    from unet_tpu.core.setup import env_flag
+    return env_flag('UNET_TPU_MM_RESIZE',
+                    jax.default_backend() == 'tpu')
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,

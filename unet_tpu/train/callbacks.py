@@ -130,11 +130,20 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer(**kw)
         self._ckptr_model = (ocp.StandardCheckpointer(**kw) if use_async
                              else self._ckptr)
+        # meta.json writes are deferred until the tensor saves they
+        # describe are durable (flushed in wait()): a meta that lands
+        # before its orbax commit would advertise a checkpoint that a
+        # preemption can leave unrestorable
+        self._pending_meta = []
 
     def wait(self) -> None:
-        """Block until all in-flight async saves are durable."""
+        """Block until all in-flight async saves are durable, then
+        publish their meta.json files."""
         self._ckptr.wait_until_finished()
         self._ckptr_model.wait_until_finished()
+        for path, meta in self._pending_meta:
+            (path / 'meta.json').write_text(json.dumps(meta, default=float))
+        self._pending_meta = []
 
     def close(self) -> None:
         self.wait()
@@ -156,8 +165,6 @@ class CheckpointManager:
         self._ckptr.save(path / 'state', _to_host(state), force=True)
         self._ckptr_model.save(path / 'model', _to_host(model_vars),
                                force=True)
-        if not self._async:
-            self.wait()
         meta = {
             'epoch': int(epoch),
             'step': None if step is None else int(step),
@@ -167,7 +174,9 @@ class CheckpointManager:
             'monitor': self.monitor,
             'monitor_value': get_nested_metric(metrics, self.monitor),
         }
-        (path / 'meta.json').write_text(json.dumps(meta, default=float))
+        self._pending_meta.append((path, meta))
+        if not self._async:
+            self.wait()
 
     def save(self, state: Any, model_vars: Dict, epoch: int, metrics: Dict,
              config: Optional[Dict] = None,
@@ -192,8 +201,11 @@ class CheckpointManager:
     @staticmethod
     def find_auto_resume(save_root, experiment_name: str):
         """``--resume auto``: newest run dir (exp, exp2, exp3, ...)
-        under ``save_root`` holding a restorable ``weights/last``, or
-        None for a fresh start. The preemption/failure-recovery story
+        under ``save_root`` holding a restorable checkpoint, or None
+        for a fresh start. Prefers ``weights/last``; falls back to
+        ``weights/best`` in the same run when a preemption landed in
+        the middle of the (asynchronous, force-overwriting) last-save
+        and left it unrestorable. The preemption/failure-recovery story
         (SURVEY.md §5): relaunch with the same config + ``--resume
         auto`` and training continues in the same run directory."""
         root = Path(save_root)
@@ -202,16 +214,22 @@ class CheckpointManager:
             s = p.name[len(experiment_name):]
             return int(s) if s.isdigit() else 1
 
+        def restorable(run: Path):
+            for name in ('last', 'best'):
+                c = run / 'weights' / name
+                if (c / 'meta.json').exists() and (c / 'state').exists():
+                    return c
+            return None
+
         candidates = [
             p for p in root.glob(f'{experiment_name}*')
             if (p.name == experiment_name
                 or p.name[len(experiment_name):].isdigit())
-            and (p / 'weights' / 'last' / 'meta.json').exists()
-            and (p / 'weights' / 'last' / 'state').exists()
+            and restorable(p) is not None
         ]
         if not candidates:
             return None
-        return max(candidates, key=suffix_num) / 'weights' / 'last'
+        return restorable(max(candidates, key=suffix_num))
 
     @staticmethod
     def read_meta(path) -> Dict:
