@@ -107,6 +107,25 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     assert int(st['step']) == 3
 
 
+def test_checkpoint_meta_publishes_without_wait(tmp_path):
+    """meta.json must land as soon as its tensor save commits (background
+    publisher), not at the next epoch's save/wait — a crash mid-epoch
+    must not leave epoch-N tensors paired with an epoch-N-1 meta."""
+    import time
+
+    state = {'params': {'w': jnp.arange(4.0)}, 'step': jnp.int32(0)}
+    model_vars = {'params': {'w': jnp.arange(4.0)}}
+    mgr = CheckpointManager(tmp_path / 'w', monitor='m', mode='max')
+    mgr.save(state, model_vars, 7, {'m': 0.5})
+    meta_p = tmp_path / 'w' / 'last' / 'meta.json'
+    deadline = time.time() + 30
+    while not meta_p.exists() and time.time() < deadline:
+        time.sleep(0.05)
+    assert meta_p.exists(), 'meta.json not published by background thread'
+    assert CheckpointManager.read_meta(meta_p.parent)['epoch'] == 7
+    mgr.close()
+
+
 def test_plots_smoke(tmp_path, rng):
     from unet_tpu.utils.plots import (plot_confusion_matrix,
                                       plot_predictions,

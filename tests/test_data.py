@@ -257,6 +257,44 @@ def test_slice_cache_native_and_python(tmp_path, rng):
     assert raw_i.dtype == np.uint8 and set(np.unique(raw_m)) <= {0, 1}
 
 
+def test_batchloader_bounded_in_flight():
+    """The loader must not decode the whole epoch ahead of the consumer
+    (unbounded submit-ahead held every decoded sample in memory: ~0.5 MB
+    x dataset size at 512^2). At most max_in_flight batches (+1 being
+    collected) may have been loaded before the consumer advances."""
+    import time
+
+    from unet_tpu.data import BatchLoader, SyntheticSliceDataset
+
+    class Counting(SyntheticSliceDataset):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.loads = 0
+
+        def load_raw(self, idx):
+            self.loads += 1
+            return super().load_raw(idx)
+
+    ds = Counting(num_volumes=30, slices_per_volume=4, img_size=8,
+                  val_ratio=0.0)
+    bs = 4
+    loader = BatchLoader(ds, bs, raw_uint8=True, num_threads=4)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.5)  # give the thread pool time to run anything queued
+    # submitted so far: max_in_flight initial batches + 1 refill
+    cap = (loader.max_in_flight + 1) * bs
+    assert ds.loads <= cap, (ds.loads, cap)
+    list(it)  # drain
+    # order and content are unchanged by the bounded pipeline
+    plain = list(BatchLoader(ds, bs, raw_uint8=True, num_threads=1))
+    got = list(BatchLoader(ds, bs, raw_uint8=True, num_threads=4))
+    assert len(got) == len(plain)
+    for (ia, ma), (ib, mb) in zip(got, plain):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ma, mb)
+
+
 def test_batchloader_raw_uint8(rng):
     from unet_tpu.data import BatchLoader, SyntheticSliceDataset
     ds = SyntheticSliceDataset(num_volumes=3, slices_per_volume=2,

@@ -56,6 +56,39 @@ def test_deep_supervision_weighting(rng):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize('kind', ['dice', 'ce', 'balanced_ce', 'dice_bce'])
+def test_sample_weights_match_unpadded(kind, rng):
+    """Padded batch + 0/1 sample weights == loss over only the real rows
+    (the multi-host eval contract: pad rows must not perturb a monitored
+    'loss')."""
+    logits, targets = _rand_case(rng, n=5)
+    fn = create_loss_function(loss_type=kind)
+    real = fn(jnp.asarray(logits[:3]), jnp.asarray(targets[:3]))
+    # pad rows duplicate the last real sample, weight 0
+    pl = np.concatenate([logits[:3], logits[2:3], logits[2:3]])
+    pt = np.concatenate([targets[:3], targets[2:3], targets[2:3]])
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    padded = fn(jnp.asarray(pl), jnp.asarray(pt), sample_weights=w)
+    np.testing.assert_allclose(float(padded), float(real), rtol=1e-6)
+    # all-ones weights == unweighted
+    ones = fn(jnp.asarray(logits), jnp.asarray(targets),
+              sample_weights=jnp.ones((5,)))
+    base = fn(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(ones), float(base), rtol=1e-6)
+
+
+def test_sample_weights_class_weighted_ce(rng):
+    logits, targets = _rand_case(rng, n=4)
+    cw = [0.3, 0.7]
+    real = cross_entropy_loss(jnp.asarray(logits[:2]),
+                              jnp.asarray(targets[:2]), cw)
+    pl = np.concatenate([logits[:2], logits[1:2]])
+    pt = np.concatenate([targets[:2], targets[1:2]])
+    padded = cross_entropy_loss(jnp.asarray(pl), jnp.asarray(pt), cw,
+                                sample_weights=jnp.asarray([1.0, 1.0, 0.0]))
+    np.testing.assert_allclose(float(padded), float(real), rtol=1e-6)
+
+
 def test_factory_unknown_raises():
     with pytest.raises(ValueError):
         create_loss_function('focal_tversky')

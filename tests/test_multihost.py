@@ -82,7 +82,10 @@ def _env(n_devices: int) -> dict:
         'JAX_PLATFORM_NAME': 'cpu',
         'JAX_PLATFORMS': 'cpu',
         'XLA_FLAGS': f'--xla_force_host_platform_device_count={n_devices}',
-        'PYTHONPATH': f"/root/.axon_site:{REPO}",
+        # propagate this process's import paths (site dirs holding the
+        # TPU plugin etc.) instead of hardcoding machine-specific paths
+        'PYTHONPATH': os.pathsep.join(
+            [str(REPO)] + [p for p in sys.path if p and p != str(REPO)]),
     })
     return env
 

@@ -14,6 +14,12 @@ directory is batched to a fixed shape (--batch-size, default 8) so one
 compiled program streams through the TPU, with softmax+threshold on
 device and only uint8 masks returned to host. Original-size restore is
 NEAREST on host (ref predict.py:163).
+
+The stages are pipelined: a background thread decodes/preprocesses chunk
+i+1 while the TPU computes chunk i (JAX dispatch is asynchronous — the
+readback of chunk i-1's probabilities is deferred until its result is
+postprocessed), so directory inference is not serialized on host PNG
+decode the way a naive preprocess->predict->save loop is.
 """
 
 import argparse
@@ -125,6 +131,33 @@ def create_overlay(image_path, mask, alpha=0.4):
     return Image.fromarray(img.astype(np.uint8))
 
 
+def background_iter(gen, depth: int = 2):
+    """Run a generator on a daemon thread with a bounded queue: the
+    producer (host decode) stays ``depth`` items ahead of the consumer
+    (device dispatch) without unbounded buffering."""
+    import queue
+    import threading
+    q = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # surfaced in the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def gather_sources(source):
     source = Path(source)
     if source.is_file():
@@ -157,27 +190,30 @@ def main():
     thresholds = [float(t) for t in str(args.threshold).split(',')]
     main_thr = thresholds[0]
 
-    n_with_tumor, coverages, n_failed = 0, [], 0
-    for start in range(0, len(files), bs):
-        chunk = files[start:start + bs]
-        batch, metas = [], []
-        for f in chunk:
-            try:
-                x, orig = preprocess_image(f, args.img_size)
-                batch.append(x)
-                metas.append((f, orig))
-            except Exception as e:  # per-image skip (ref predict.py:311)
-                print(f'  skip {f.name}: {e}')
-                n_failed += 1
-        if not batch:
-            continue
-        n_real = len(batch)
-        while len(batch) < bs:  # pad to the compiled batch shape
-            batch.append(batch[-1])
-        probs = predict_step(variables['params'], variables['batch_stats'],
-                             jnp.asarray(np.stack(batch)))
-        tumor_prob = np.asarray(probs[..., 1])  # (bs, H, W)
+    n_with_tumor, coverages = 0, []
+    skipped = []
 
+    def decoded_chunks():
+        for start in range(0, len(files), bs):
+            chunk = files[start:start + bs]
+            batch, metas = [], []
+            for f in chunk:
+                try:
+                    x, orig = preprocess_image(f, args.img_size)
+                    batch.append(x)
+                    metas.append((f, orig))
+                except Exception as e:  # per-image skip (ref predict:311)
+                    print(f'  skip {f.name}: {e}')
+                    skipped.append(f)
+            if not batch:
+                continue
+            n_real = len(batch)
+            while len(batch) < bs:  # pad to the compiled batch shape
+                batch.append(batch[-1])
+            yield np.stack(batch), metas, n_real
+
+    def postprocess(tumor_prob, metas, n_real):
+        nonlocal n_with_tumor
         for i in range(n_real):
             f, orig = metas[i]
             mask = postprocess_mask(tumor_prob[i], main_thr, orig)
@@ -200,6 +236,22 @@ def main():
                     out_dir / f'{f.stem}_overlay.png')
             print(f'  {f.name}: tumor coverage '
                   f'{100.0 * tumor_px / total_px:.2f}%')
+
+    # pipelined drive loop: decode (background thread) || TPU compute
+    # (async dispatch) || postprocess+save (this thread, one chunk behind)
+    from collections import deque
+    inflight = deque()
+    for batch, metas, n_real in background_iter(decoded_chunks()):
+        probs = predict_step(variables['params'], variables['batch_stats'],
+                             jnp.asarray(batch))
+        inflight.append((probs, metas, n_real))
+        if len(inflight) > 1:  # keep one chunk computing on device
+            probs0, metas0, n0 = inflight.popleft()
+            postprocess(np.asarray(probs0[..., 1]), metas0, n0)
+    while inflight:
+        probs0, metas0, n0 = inflight.popleft()
+        postprocess(np.asarray(probs0[..., 1]), metas0, n0)
+    n_failed = len(skipped)
 
     n_done = len(coverages)
     print(f'\nProcessed {n_done}/{len(files)} images '

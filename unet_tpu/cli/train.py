@@ -578,8 +578,13 @@ def main():
         meta = CheckpointManager.read_meta(best_dir)
         log(f"Loaded best model from epoch {meta.get('epoch', 0) + 1}")
 
+    # A fresh single-process loader: in multi-host runs val_loader has
+    # local_slice/pad_tail set, so it would yield only 1/n_proc of the
+    # validation samples (plus duplicated pad rows) to this process.
+    viz_loader = BatchLoader(val_ds, batch_size, shuffle=False,
+                             num_threads=workers, raw_uint8=True)
     tumor_images, tumor_masks = [], []
-    for images, masks in val_loader:
+    for images, masks in viz_loader:
         for i in range(images.shape[0]):
             if masks[i].sum() > 0:
                 tumor_images.append(images[i])

@@ -262,6 +262,14 @@ class BatchLoader:
         return min(self.batch_size,
                    len(self.dataset) - batch_index * self.batch_size)
 
+    # batches of decoded samples allowed in flight ahead of the consumer
+    # (submitting the whole epoch up front — the old design — accumulated
+    # every decoded sample in completed futures: ~0.5 MB x dataset size
+    # at 512^2 uint8, gigabytes on a real corpus). 3 batches keep the
+    # thread pool busy across the consumer's device dispatch while
+    # bounding resident decoded data to ~3 batches.
+    max_in_flight = 3
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -269,23 +277,35 @@ class BatchLoader:
         nb = len(self)
         load = (self.dataset.load_raw if self.raw_uint8
                 else self.dataset.load)
+
+        def batch_indices(b: int) -> np.ndarray:
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.pad_tail and len(idxs) < self.batch_size:
+                idxs = np.concatenate([
+                    idxs, np.repeat(idxs[-1:], self.batch_size - len(idxs))])
+            if self.local_slice is not None:
+                index, count = self.local_slice
+                lb = self.batch_size // count
+                idxs = idxs[index * lb:(index + 1) * lb]
+            return idxs
+
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-            # pipeline: submit loads for the next batch while yielding
-            futures = []
-            for b in range(nb):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                if self.pad_tail and len(idxs) < self.batch_size:
-                    idxs = np.concatenate([
-                        idxs, np.repeat(idxs[-1:],
-                                        self.batch_size - len(idxs))])
-                if self.local_slice is not None:
-                    index, count = self.local_slice
-                    lb = self.batch_size // count
-                    idxs = idxs[index * lb:(index + 1) * lb]
-                futures.append([pool.submit(load, int(i))
-                                for i in idxs])
-            for batch_futs in futures:
+            # bounded pipeline: at most max_in_flight batches of load
+            # futures exist at a time; the next batch is submitted as
+            # soon as the current one is collected (before the yield, so
+            # decode overlaps the consumer's work on the yielded batch)
+            from collections import deque
+            pending = deque(
+                [pool.submit(load, int(i)) for i in batch_indices(b)]
+                for b in range(min(self.max_in_flight, nb)))
+            next_b = len(pending)
+            while pending:
+                batch_futs = pending.popleft()
                 samples = [f.result() for f in batch_futs]
+                if next_b < nb:
+                    pending.append([pool.submit(load, int(i))
+                                    for i in batch_indices(next_b)])
+                    next_b += 1
                 images = np.stack([s[0] for s in samples])[..., None]
                 masks = np.stack([s[1] for s in samples])
                 yield images, masks

@@ -164,7 +164,11 @@ def igemm_shapes_supported(x_shape, k_shape, itemsize: int = 2) -> bool:
         return False
     if w % 128 or h % 8:
         return False
-    return _pick_tile_h(h, w, cin, cout, itemsize) > 0
+    # The custom VJP's data-gradient runs the same kernel with Cin/Cout
+    # swapped: an asymmetric channel pair near the VMEM budget edge must
+    # fail the guard unless BOTH orientations tile.
+    return (_pick_tile_h(h, w, cin, cout, itemsize) > 0
+            and _pick_tile_h(h, w, cout, cin, itemsize) > 0)
 
 
 def _conv3x3_pallas(x: jnp.ndarray, k: jnp.ndarray,
@@ -259,8 +263,16 @@ def _conv3x3_bwd(interpret, res, g):
     # dx: conv of g with the rot180, channel-transposed kernel — the same
     # Pallas kernel (Cout/Cin swap keeps shapes supported).
     kt = k[::-1, ::-1].transpose(0, 1, 3, 2)
-    dx = _conv3x3_pallas(g, kt.astype(g.dtype), None, None, False,
-                         interpret).astype(x.dtype)
+    # Defensive: callers are expected to consult igemm_shapes_supported
+    # (which now checks both orientations), but if the transposed shape
+    # still fails to tile (e.g. a forced UNET_TPU_CONV_TH), fall back to
+    # XLA instead of tripping the in-trace assert.
+    if _pick_tile_h(g.shape[1], g.shape[2], kt.shape[2], kt.shape[3],
+                    g.dtype.itemsize) > 0:
+        dx = _conv3x3_pallas(g, kt.astype(g.dtype), None, None, False,
+                             interpret).astype(x.dtype)
+    else:
+        dx = conv3x3_reference(g, kt).astype(x.dtype)
     # dk: correlation over the batch+spatial dims; XLA's grad conv is
     # already MXU-shaped (K = N*H*W pixels), keep it there.
     dk = jax.vjp(lambda kk: conv3x3_reference(x, kk), k)[1](g)[0]

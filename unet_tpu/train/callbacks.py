@@ -130,20 +130,29 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer(**kw)
         self._ckptr_model = (ocp.StandardCheckpointer(**kw) if use_async
                              else self._ckptr)
-        # meta.json writes are deferred until the tensor saves they
-        # describe are durable (flushed in wait()): a meta that lands
-        # before its orbax commit would advertise a checkpoint that a
-        # preemption can leave unrestorable
-        self._pending_meta = []
+        # meta.json is published by a background thread as soon as the
+        # tensor saves it describes are durable: a meta that lands before
+        # its orbax commit would advertise a checkpoint a preemption can
+        # leave unrestorable, while deferring publication to the *next*
+        # epoch's save (the old design) left a whole-epoch window where a
+        # crash paired epoch-N tensors with an epoch-N-1 meta.json.
+        self._publisher = None
 
-    def wait(self) -> None:
-        """Block until all in-flight async saves are durable, then
-        publish their meta.json files."""
+    def _publish(self, path: Path, meta: Dict) -> None:
         self._ckptr.wait_until_finished()
         self._ckptr_model.wait_until_finished()
-        for path, meta in self._pending_meta:
-            (path / 'meta.json').write_text(json.dumps(meta, default=float))
-        self._pending_meta = []
+        tmp = path / 'meta.json.tmp'
+        tmp.write_text(json.dumps(meta, default=float))
+        tmp.rename(path / 'meta.json')  # atomic publish
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are durable and their
+        meta.json files are published."""
+        if self._publisher is not None:
+            self._publisher.join()
+            self._publisher = None
+        self._ckptr.wait_until_finished()
+        self._ckptr_model.wait_until_finished()
 
     def close(self) -> None:
         self.wait()
@@ -174,9 +183,13 @@ class CheckpointManager:
             'monitor': self.monitor,
             'monitor_value': get_nested_metric(metrics, self.monitor),
         }
-        self._pending_meta.append((path, meta))
-        if not self._async:
-            self.wait()
+        if self._async:
+            import threading
+            self._publisher = threading.Thread(
+                target=self._publish, args=(path, meta), daemon=True)
+            self._publisher.start()
+        else:
+            self._publish(path, meta)
 
     def save(self, state: Any, model_vars: Dict, epoch: int, metrics: Dict,
              config: Optional[Dict] = None,

@@ -178,11 +178,13 @@ def make_eval_step(model, loss_fn: Callable, num_classes: int,
 
     ``with_weights=True`` adds a per-sample weight vector argument
     (multi-host tail batches are padded to a static shape by repeating
-    the last sample; pad rows get weight 0). Weights gate the confusion
-    matrix exactly — pad rows contribute nothing, so Dice/IoU/accuracy
-    match the unpadded computation bit-for-bit. The scalar loss is still
-    over the padded batch (the duplicated tail rows perturb only the
-    reported val loss, never the monitored CM metrics).
+    the last sample; pad rows get weight 0). Weights gate BOTH the
+    confusion matrix (pad rows contribute nothing, so Dice/IoU/accuracy
+    match the unpadded computation bit-for-bit) and the scalar loss
+    (``sample_weights`` in unet_tpu.train.losses), so a monitor of
+    'loss' sees the same value a single-process run computes on its
+    smaller tail batch. Requires ``loss_fn`` to accept a
+    ``sample_weights`` keyword (create_loss_function products do).
     """
 
     def eval_step(params, batch_stats, images: Array, masks: Array):
@@ -196,7 +198,7 @@ def make_eval_step(model, loss_fn: Callable, num_classes: int,
                            weights: Array):
         logits = model.apply({'params': params, 'batch_stats': batch_stats},
                              images, train=False)
-        loss = loss_fn(logits, masks)
+        loss = loss_fn(logits, masks, sample_weights=weights)
         # weight-0 rows -> target -1, which confusion_matrix_update drops
         gated = jnp.where(weights[:, None, None] > 0,
                           masks.astype(jnp.int32), -1)
