@@ -120,6 +120,35 @@ class DoubleConv(nn.Module):
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
         import jax
 
+        from unet_tpu.core.setup import env_flag
+        from unet_tpu.ops.s2d import conv3x3_s2d_w, s2d_profitable
+
+        # Width-space-to-depth routing for the lane-underfilled C<64..128
+        # levels (see ops/s2d.py): parameter shapes/names are untouched —
+        # the (3,3,Cin,Cout) kernel is lifted to the s2d layout at apply
+        # time, so checkpoints and the torch-port mapping are unchanged.
+        use_s2d = env_flag('UNET_TPU_S2D',
+                           jax.default_backend() == 'tpu')
+
+        def routed(inp, kernel, cout):
+            if use_s2d and s2d_profitable(inp.shape[2], inp.shape[-1],
+                                          cout):
+                return conv3x3_s2d_w(inp.astype(self.dtype), kernel)
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        def apply3x3(mod, inp, cout):
+            if not (use_s2d and s2d_profitable(inp.shape[2],
+                                               inp.shape[-1], cout)):
+                return mod(inp)
+            # declare the module's kernel, then apply it via the s2d
+            # layout (XLA DCEs the dummy call)
+            mod(jnp.zeros((1, 4, 4, inp.shape[-1]), self.dtype))
+            k = mod.variables['params']['kernel']
+            return conv3x3_s2d_w(inp.astype(self.dtype),
+                                 k.astype(self.dtype))
+
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
         conv1 = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
@@ -132,19 +161,15 @@ class DoubleConv(nn.Module):
             # sliced convolutions (XLA DCEs the dummy call)
             conv1(jnp.zeros((1, 4, 4, cin), self.dtype))
             k = conv1.variables['params']['kernel'].astype(self.dtype)
-            dn = ('NHWC', 'HWIO', 'NHWC')
-            x = (jax.lax.conv_general_dilated(
-                    a.astype(self.dtype), k[:, :, :ca], (1, 1), 'SAME',
-                    dimension_numbers=dn)
-                 + jax.lax.conv_general_dilated(
-                    b.astype(self.dtype), k[:, :, ca:], (1, 1), 'SAME',
-                    dimension_numbers=dn))
+            x = routed(a, k[:, :, :ca], mid) + routed(b, k[:, :, ca:], mid)
         else:
-            x = conv1(x)
+            x = apply3x3(conv1, x, mid)
         x = _bn(train, 'bn1', self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32, name='conv2')(x)
+        conv2 = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name='conv2')
+        x = apply3x3(conv2, x, self.out_channels)
         x = _bn(train, 'bn2', self.dtype)(x)
         return nn.relu(x)
 

@@ -1,0 +1,122 @@
+"""Width-axis space-to-depth 3x3 convolution — the C=64 MXU-fill fix.
+
+Why this exists (measured, docs/DESIGN.md "Train-step profile"): on TPU
+the channel dim maps to the 128-wide lane axis. The U-Net's 512^2 and
+256^2 levels run convs with C=64 (ref unet/models/layers.py:31-38 at
+base_features=64), which fills HALF the MXU's K and N dims — XLA tops
+out at ~35 TFLOP/s there vs 88-111 TFLOP/s for the C>=128 levels. No
+kernel fixes that (the r2 Pallas implicit-GEMM only tied XLA); it needs
+a LAYOUT change.
+
+The trick: a 3x3/stride-1 conv on (H, W, C) is exactly expressible on
+the width-space-to-depth layout (H, W/2, 2C), where the channel dim is
+[phase-0 | phase-1] = even/odd logical columns. In NHWC row-major the
+s2d transform is a pure ``reshape`` — W and C are adjacent minor dims —
+so no data movement is introduced, only a (possibly fused) relayout.
+
+Derivation: y[i, 2j+b] = sum_{dy,dx} w[dy,dx] . x[i+dy, 2j+b+dx].
+Writing 2j+b+dx = 2(j+s)+q with q=(b+dx) mod 2, s=floor((b+dx)/2), each
+logical tap (b, dx) lands at a distinct (col-tap s, in-phase q) slot, so
+the whole conv is ONE dense 3x3 conv in s2d space with a structured-
+zero kernel K[(1+dy), (1+s), qC+c, bCo+co] = w[1+dy, 1+dx, c, co].
+Union of col supports is s in {-1,0,1}: 'SAME' padding in s2d space is
+correct because every kernel slot that would touch the out-of-range
+logical column (-2 / W+1) is structurally zero.
+
+Cost model: the dense s2d kernel has 18 of 36 (dy, s, q)-slots per
+out-phase populated -> 2x the logical FLOPs, but run at the >=128-lane
+MXU rate (~2.9x the C=64 rate) -> net ~1.4-1.5x. The 'split' variant
+below cuts overhead to 1.33x (two (3,2)-tap convs, one per out-phase,
+each with a fully-used 2-col window) at the price of Cout=Co lane fill.
+Both are golden-tested against lax.conv; the winner is chosen by
+measurement (benchmarks/s2d_bench.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def s2d_w(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H, W/2, 2C); channel = q*C + c for logical
+    column 2j+q. Pure reshape (W, C are adjacent minor dims)."""
+    n, h, w, c = x.shape
+    assert w % 2 == 0, w
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def d2s_w(y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`s2d_w`."""
+    n, h, w2, c2 = y.shape
+    assert c2 % 2 == 0, c2
+    return y.reshape(n, h, w2 * 2, c2 // 2)
+
+
+def s2d_kernel_w(k: jnp.ndarray) -> jnp.ndarray:
+    """Lift a logical (3, 3, C, Co) kernel to the dense s2d kernel
+    (3, 3, 2C, 2Co) (structured zeros; see module docstring)."""
+    kh, kw, c, co = k.shape
+    assert (kh, kw) == (3, 3), k.shape
+    out = jnp.zeros((3, 3, 2 * c, 2 * co), k.dtype)
+    for b in range(2):
+        for dx in (-1, 0, 1):
+            q = (b + dx) % 2
+            v = (b + dx) // 2 + 1
+            out = out.at[:, v, q * c:(q + 1) * c,
+                         b * co:(b + 1) * co].set(k[:, dx + 1])
+    return out
+
+
+def s2d_profitable(w: int, cin: int, cout: int) -> bool:
+    """Static (trace-time) gate: route this logical 3x3 conv through the
+    width-s2d layout? True only where measured faster on TPU
+    (benchmarks/s2d_bench.py; numbers in docs/DESIGN.md). The caller is
+    responsible for the backend check (TPU only) and any env override.
+
+    Measured shape of the win: the dense s2d conv costs 2x the logical
+    FLOPs, so it only pays where XLA's C=64 rate (~35 TFLOP/s) is far
+    below the C>=128 rate (~88-111): the big-spatial levels whose
+    channel dim underfills the 128-wide lane axis.
+    """
+    if w % 2 or w < 256:
+        return False
+    return max(cin, cout) <= 128 and min(cin, cout) >= 32 \
+        and min(cin, cout) < 128
+
+
+def conv3x3_s2d_w(x: jnp.ndarray, k: jnp.ndarray,
+                  variant: str = 'dense') -> jnp.ndarray:
+    """3x3/stride-1/SAME conv computed in width-s2d layout.
+
+    x: (N, H, W, C) with W even; k: (3, 3, C, Co) (any float dtype —
+    cast to x.dtype like flax nn.Conv). Returns (N, H, W, Co), equal to
+    ``lax.conv_general_dilated(x, k, (1,1), 'SAME')`` up to summation
+    order.
+    """
+    k = k.astype(x.dtype)
+    xs = s2d_w(x)
+    if variant == 'dense':
+        ys = jax.lax.conv_general_dilated(
+            xs, s2d_kernel_w(k), (1, 1), 'SAME', dimension_numbers=_DN)
+        return d2s_w(ys)
+    if variant == 'split':
+        c, co = k.shape[2], k.shape[3]
+        ka = jnp.zeros((3, 2, 2 * c, co), k.dtype)   # out-phase b=0
+        kb = jnp.zeros((3, 2, 2 * c, co), k.dtype)   # out-phase b=1
+        # b=0: dx=-1 -> (q=1, u=0); dx=0 -> (q=0, u=1); dx=1 -> (q=1, u=1)
+        ka = ka.at[:, 0, c:].set(k[:, 0])
+        ka = ka.at[:, 1, :c].set(k[:, 1])
+        ka = ka.at[:, 1, c:].set(k[:, 2])
+        # b=1: dx=-1 -> (q=0, u=0); dx=0 -> (q=1, u=0); dx=1 -> (q=0, u=1)
+        kb = kb.at[:, 0, :c].set(k[:, 0])
+        kb = kb.at[:, 0, c:].set(k[:, 1])
+        kb = kb.at[:, 1, :c].set(k[:, 2])
+        ya = jax.lax.conv_general_dilated(
+            xs, ka, (1, 1), ((1, 1), (1, 0)), dimension_numbers=_DN)
+        yb = jax.lax.conv_general_dilated(
+            xs, kb, (1, 1), ((1, 1), (0, 1)), dimension_numbers=_DN)
+        return d2s_w(jnp.concatenate([ya, yb], axis=-1))
+    raise ValueError(f'unknown variant: {variant}')
