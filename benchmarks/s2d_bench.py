@@ -24,6 +24,7 @@ def main():
 
     enable_compilation_cache()
     bwd = '--bwd' in sys.argv
+    full = '--full' in sys.argv
     print(f'backend: {jax.default_backend()} {jax.devices()}', flush=True)
     N = 32
 
@@ -61,6 +62,14 @@ def main():
         fl = 2 * 9 * ci * co * hw * hw * 8  # logical FLOPs
 
         def run(conv):
+            if full:
+                # fwd + dgrad + wgrad (what one training step pays)
+                def g(v):
+                    dx, dk = jax.grad(
+                        lambda vv, kk: conv(vv, kk)
+                        .astype(jnp.float32).sum(), argnums=(0, 1))(v, k)
+                    return dx * 0.5 + dk.astype(v.dtype).sum() * 1e-6
+                return timed(g, x), 3 * fl
             if bwd:
                 g = jax.jit(jax.grad(
                     lambda v: conv(v, k).astype(jnp.float32).sum()))
@@ -73,7 +82,7 @@ def main():
         dt_x, fx = run(ref)
         dt_d, fd = run(lambda v, kk: conv3x3_s2d_w(v, kk, 'dense'))
         dt_s, fs = run(lambda v, kk: conv3x3_s2d_w(v, kk, 'split'))
-        tag = 'fwd+dx' if bwd else 'fwd'
+        tag = 'fwd+dx+dk' if full else ('fwd+dx' if bwd else 'fwd')
         print(f'{hw}^2 {ci:4d}->{co:4d} {tag}: '
               f'xla {dt_x * 1e3:6.2f}  s2d-dense {dt_d * 1e3:6.2f}  '
               f's2d-split {dt_s * 1e3:6.2f} ms  '

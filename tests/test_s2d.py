@@ -67,25 +67,35 @@ def test_doubleconv_s2d_routing_matches_plain(monkeypatch):
     from unet_tpu.models.layers import DoubleConv
     from unet_tpu.ops.s2d import s2d_profitable
 
-    # shapes chosen to trigger the gate (w >= 256, 32 <= C < 128)
-    assert s2d_profitable(256, 32, 32)
+    # shapes chosen to trigger the gate (w >= 256, 64->64)
+    assert s2d_profitable(256, 64, 64)
+    assert not s2d_profitable(128, 64, 64)      # too small spatially
+    assert not s2d_profitable(256, 128, 64)     # mixed channels: XLA wins
     rng = np.random.default_rng(11)
-    x = jnp.asarray(rng.standard_normal((1, 64, 256, 32)), jnp.float32)
-    a = jnp.asarray(rng.standard_normal((1, 64, 256, 16)), jnp.float32)
-    b = jnp.asarray(rng.standard_normal((1, 64, 256, 16)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 32, 256, 64)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((1, 32, 256, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, 32, 256, 64)), jnp.float32)
 
-    mod = DoubleConv(32)
+    mod = DoubleConv(64)
     monkeypatch.setenv('UNET_TPU_S2D', '0')
     params = mod.init(jax.random.key(0), x, train=False)
+    params_pair = mod.init(jax.random.key(1), (a, b), train=False)
     plain = mod.apply(params, x, train=False)
-    plain_pair = mod.apply(params, (a, b), train=False)
+    plain_pair = mod.apply(params_pair, (a, b), train=False)
+    plain_tr, _ = mod.apply(params, x, train=True,
+                            mutable=['batch_stats'])
     monkeypatch.setenv('UNET_TPU_S2D', '1')
-    routed = mod.apply(params, x, train=False)
-    routed_pair = mod.apply(params, (a, b), train=False)
+    routed = mod.apply(params, x, train=False)          # dense variant
+    routed_pair = mod.apply(params_pair, (a, b), train=False)
+    routed_tr, _ = mod.apply(params, x, train=True,     # split variant
+                             mutable=['batch_stats'])
     np.testing.assert_allclose(np.asarray(routed), np.asarray(plain),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(routed_pair),
                                np.asarray(plain_pair),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(routed_tr),
+                               np.asarray(plain_tr),
                                rtol=2e-5, atol=2e-5)
 
 

@@ -121,19 +121,29 @@ class DoubleConv(nn.Module):
         import jax
 
         from unet_tpu.core.setup import env_flag
-        from unet_tpu.ops.s2d import conv3x3_s2d_w, s2d_profitable
+        from unet_tpu.ops.s2d import (conv3x3_s2d_w, s2d_profitable,
+                                      s2d_variant)
 
-        # Width-space-to-depth routing for the lane-underfilled C<64..128
+        # Width-space-to-depth routing for the lane-underfilled 64->64
         # levels (see ops/s2d.py): parameter shapes/names are untouched —
         # the (3,3,Cin,Cout) kernel is lifted to the s2d layout at apply
         # time, so checkpoints and the torch-port mapping are unchanged.
-        use_s2d = env_flag('UNET_TPU_S2D',
-                           jax.default_backend() == 'tpu')
+        # DEFAULT OFF after honest end-to-end measurement: the per-op win
+        # (4.83->4.15 ms fwd at 512^2 64->64) is real but each routed
+        # conv pays two s2d<->logical relayouts of a 512^2 map at its
+        # graph boundaries (~1-2 ms each; C=64 logical tensors are 2x
+        # lane-padded in HBM), which chained microbenches hide because
+        # adjacent d2s/s2d reshapes cancel across scan iterations.
+        # Measured full model: train 116.3 -> 138.8 ms/step, infer
+        # 206 -> 164 slices/s. See docs/DESIGN.md "Space-to-depth".
+        use_s2d = env_flag('UNET_TPU_S2D', False)
+        variant = s2d_variant(train)
 
         def routed(inp, kernel, cout):
             if use_s2d and s2d_profitable(inp.shape[2], inp.shape[-1],
                                           cout):
-                return conv3x3_s2d_w(inp.astype(self.dtype), kernel)
+                return conv3x3_s2d_w(inp.astype(self.dtype), kernel,
+                                     variant)
             return jax.lax.conv_general_dilated(
                 inp.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
                 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
@@ -147,7 +157,7 @@ class DoubleConv(nn.Module):
             mod(jnp.zeros((1, 4, 4, inp.shape[-1]), self.dtype))
             k = mod.variables['params']['kernel']
             return conv3x3_s2d_w(inp.astype(self.dtype),
-                                 k.astype(self.dtype))
+                                 k.astype(self.dtype), variant)
 
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
         conv1 = nn.Conv(mid, (3, 3), padding=1, use_bias=False,

@@ -30,6 +30,24 @@ below cuts overhead to 1.33x (two (3,2)-tap convs, one per out-phase,
 each with a fully-used 2-col window) at the price of Cout=Co lane fill.
 Both are golden-tested against lax.conv; the winner is chosen by
 measurement (benchmarks/s2d_bench.py).
+
+STATUS — measured negative result, ships OPT-IN (UNET_TPU_S2D=1).
+Per-op (v5e, b8, bf16, chained scan): 512^2 64->64 fwd 4.83->4.15 ms
+(dense), fwd+dx+dk 5.83->5.11 ms (split); a conv-BN-ReLU pair block
+8.03->5.73 ms. End-to-end in the full AttentionUNet: train step
+116.3 -> 138.8 ms, infer 206 -> 164 slices/s — a clear LOSS. The
+mechanism (benchmarks/s2d_level_bench.py + the model measurement): the
+chained microbenches overstate the win because adjacent d2s/s2d
+reshapes CANCEL across scan iterations, so the chain runs entirely in
+s2d layout and never pays a boundary; in the real model every routed
+conv borders logical-layout ops (maxpool, mm-resize, attention gates),
+and each s2d<->logical relayout of a (8,512,512,64) bf16 map costs
+~1-2 ms (logical C=64 tensors are 2x lane-padded in HBM, so the copy
+moves ~0.75 GB). Eight boundaries eat the ~3 ms of per-conv wins
+several times over. A future attempt must keep an ENTIRE level
+(convs + BN + ReLU + pool + gate consumers) in s2d space so boundaries
+amortize to ~one per level; with only 4 eligible convs the projected
+ceiling is ~3-5 ms/step, which did not justify the surgery this round.
 """
 
 from __future__ import annotations
@@ -76,15 +94,23 @@ def s2d_profitable(w: int, cin: int, cout: int) -> bool:
     (benchmarks/s2d_bench.py; numbers in docs/DESIGN.md). The caller is
     responsible for the backend check (TPU only) and any env override.
 
-    Measured shape of the win: the dense s2d conv costs 2x the logical
-    FLOPs, so it only pays where XLA's C=64 rate (~35 TFLOP/s) is far
-    below the C>=128 rate (~88-111): the big-spatial levels whose
-    channel dim underfills the 128-wide lane axis.
+    Measured (v5e, b8, bf16, min-of-3 chained scan): the win exists ONLY
+    for square 64->64 convs — XLA runs them at 32 TFLOP/s while its
+    mixed-channel big convs (128->64 etc.) already hit 95+, where the
+    s2d layout's 2x (dense) / 1.33x (split) FLOP overhead loses. 32->32
+    also loses (the s2d FLOP overhead exceeds the fill gain at that
+    size). 512^2 64->64: fwd 4.83->4.15 ms (dense), fwd+dx+dk
+    5.83->5.11 ms (split); 256^2 64->64: fwd 1.84->1.50 (dense),
+    fwd+dx+dk 2.14->1.77 (split).
     """
-    if w % 2 or w < 256:
-        return False
-    return max(cin, cout) <= 128 and min(cin, cout) >= 32 \
-        and min(cin, cout) < 128
+    return w % 2 == 0 and w >= 256 and cin == 64 and cout == 64
+
+
+def s2d_variant(train: bool) -> str:
+    """Measured variant choice: 'split' (1.33x FLOPs, Cout-lane fill)
+    wins once the weight gradient is in the program; 'dense' (2x FLOPs,
+    full fill) wins forward-only inference."""
+    return 'split' if train else 'dense'
 
 
 def conv3x3_s2d_w(x: jnp.ndarray, k: jnp.ndarray,
