@@ -167,11 +167,28 @@ class DoubleConv(nn.Module):
             a, b = x
             ca = a.shape[-1]
             cin = ca + b.shape[-1]
-            # declare conv1's (3,3,cin,mid) kernel, then apply it as two
-            # sliced convolutions (XLA DCEs the dummy call)
-            conv1(jnp.zeros((1, 4, 4, cin), self.dtype))
-            k = conv1.variables['params']['kernel'].astype(self.dtype)
-            x = routed(a, k[:, :, :ca], mid) + routed(b, k[:, :, ca:], mid)
+            if not train and env_flag('UNET_TPU_EVAL_CONCAT', False):
+                # OPT-IN negative result (benchmarks/concat_bench.py +
+                # end-to-end ablation): in isolation the materialized
+                # concat + ONE mixed-channel conv beats the two sliced
+                # square convs at the shallow levels (512^2 7.66 vs
+                # 10.58 ms fwd — square C=64 convs are XLA's slow case)
+                # and the pair form wins once gradients are in the
+                # program. But in the FULL model eval the concat LOSES
+                # (infer 206 -> 147 slices/s): the gate's multiply and
+                # the resize epilogue fuse into the sliced consumer
+                # convs, and materializing the concat breaks that
+                # producer fusion. Same lesson as ops/s2d.py: per-op
+                # wins must survive an end-to-end ablation.
+                x = conv1(jnp.concatenate(
+                    [a.astype(self.dtype), b.astype(self.dtype)], -1))
+            else:
+                # declare conv1's (3,3,cin,mid) kernel, then apply it as
+                # two sliced convolutions (XLA DCEs the dummy call)
+                conv1(jnp.zeros((1, 4, 4, cin), self.dtype))
+                k = conv1.variables['params']['kernel'].astype(self.dtype)
+                x = (routed(a, k[:, :, :ca], mid)
+                     + routed(b, k[:, :, ca:], mid))
         else:
             x = apply3x3(conv1, x, mid)
         x = _bn(train, 'bn1', self.dtype)(x)
