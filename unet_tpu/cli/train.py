@@ -35,6 +35,15 @@ def parse_args():
     p.add_argument('--lr', type=float, default=None)
     p.add_argument('--resume', type=str, default=None,
                    help='checkpoint dir (e.g. runs/exp/weights/last)')
+    p.add_argument('--init-weights', type=str, default=None,
+                   help='initialize model params/batch-stats from a '
+                        'checkpoint before training (an Orbax model dir '
+                        'or a reference torch .pt — enables fine-tuning '
+                        'from reference checkpoints and the cross-'
+                        'framework training controls in docs/parity_r3). '
+                        'Unlike --resume, the optimizer/scheduler/epoch '
+                        'start fresh. The file must be readable on every '
+                        'process in multi-host runs.')
     p.add_argument('--name', type=str, default=None)
     p.add_argument('--project', type=str, default=None)
     p.add_argument('--device', type=str, default=None,
@@ -302,6 +311,24 @@ def main():
                         model_cfg['n_channels']), jnp.float32)
     state = init_train_state(model, jax.random.key(seed), sample, tx,
                              use_ema=use_ema)
+    if getattr(args, 'init_weights', None):
+        init_src = Path(args.init_weights)
+        log(f'Initializing weights from {init_src}')
+        template = {'params': state.params,
+                    'batch_stats': state.batch_stats}
+        if init_src.is_file():  # reference torch .pt
+            from unet_tpu.utils.torch_port import (
+                convert_torch_state_dict, load_torch_checkpoint)
+            sd, _, _ = load_torch_checkpoint(init_src)
+            restored = convert_torch_state_dict(sd, template)
+        else:                   # our Orbax model dir (weights/<name>)
+            restored = CheckpointManager.restore_model(init_src,
+                                                       target=template)
+        restored = jax.tree.map(jnp.asarray, restored)
+        state = state.replace(params=restored['params'],
+                              batch_stats=restored['batch_stats'])
+        if use_ema:
+            state = ema_reinit(state)
     state = replicate(mesh, state)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(state.params))

@@ -89,6 +89,16 @@ class AugmentConfig:
             rotate_deg=float(aug_cfg.get('rotation_limit', 15)),
             p_elastic=aug_cfg.get('elastic', 0.3),
             p_brightness=aug_cfg.get('brightness_contrast', 0.3),
+            # extension keys (absent from the reference YAML — their
+            # pipeline hardcodes these probabilities, augmentations.py:
+            # 56-89; exposing them lets a config reproduce the
+            # reference's *fallback* transform set (hflip only) exactly,
+            # used by the torch-control parity run, docs/parity_r3/)
+            p_vflip=aug_cfg.get('vertical_flip', 0.3),
+            p_affine=aug_cfg.get('affine', 0.5),
+            p_grid=aug_cfg.get('grid_distortion', 0.3),
+            p_noise=aug_cfg.get('gauss_noise', 0.2),
+            p_dropout=aug_cfg.get('coarse_dropout', 0.1),
         )
 
 

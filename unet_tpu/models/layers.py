@@ -41,6 +41,31 @@ from unet_tpu.ops.resize import (
 _BN_MOMENTUM = 0.9
 _BN_EPS = 1e-5
 
+# torch nn.Conv2d's default weight init is kaiming_uniform(a=sqrt(5)) =
+# U(+-1/sqrt(fan_in)) — variance scale 1/3 of lecun. Matching it matters
+# for *training-dynamics* parity, not just converged capability: the
+# r3 cross-framework control (docs/parity_r3/) measured the torch
+# reference reaching 0.79 val tumor dice by epoch 2 while the same
+# model under flax's default lecun_normal (1.73x larger std) took 12
+# epochs — and re-running from ported torch-init weights reproduced the
+# torch trajectory. Biases (OutConv / ConvTranspose) follow torch's
+# U(+-1/sqrt(fan_in)) as well, via per-site closures that know fan_in.
+_TORCH_CONV_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, 'fan_in', 'uniform')
+# flax ConvTranspose kernels are (kh, kw, in, out); torch's fan_in for
+# ConvTranspose2d is out*kh*kw = flax 'fan_out'
+_TORCH_CONVT_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, 'fan_out', 'uniform')
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
 
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch.nn.BatchNorm2d's exact semantics.
@@ -161,6 +186,7 @@ class DoubleConv(nn.Module):
 
         mid = self.mid_channels if self.mid_channels is not None else self.out_channels
         conv1 = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
+                        kernel_init=_TORCH_CONV_INIT,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name='conv1')
         if isinstance(x, (tuple, list)):
@@ -194,7 +220,8 @@ class DoubleConv(nn.Module):
         x = _bn(train, 'bn1', self.dtype)(x)
         x = nn.relu(x)
         conv2 = nn.Conv(self.out_channels, (3, 3), padding=1,
-                        use_bias=False, dtype=self.dtype,
+                        use_bias=False, kernel_init=_TORCH_CONV_INIT,
+                        dtype=self.dtype,
                         param_dtype=jnp.float32, name='conv2')
         x = apply3x3(conv2, x, self.out_channels)
         x = _bn(train, 'bn2', self.dtype)(x)
@@ -225,6 +252,8 @@ class OutConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                       kernel_init=_TORCH_CONV_INIT,
+                       bias_init=_torch_bias_init(x.shape[-1]),
                        dtype=self.dtype, param_dtype=jnp.float32,
                        name='conv')(x)
 
@@ -248,9 +277,11 @@ class Up(nn.Module):
             x1 = upsample2x_align_corners(x1)
             mid = (x1.shape[-1] + x2.shape[-1]) // 2
         else:
-            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
-                                  use_bias=True, dtype=self.dtype,
-                                  param_dtype=jnp.float32, name='up')(x1)
+            x1 = nn.ConvTranspose(
+                x1.shape[-1] // 2, (2, 2), strides=(2, 2), use_bias=True,
+                kernel_init=_TORCH_CONVT_INIT,
+                bias_init=_torch_bias_init((x1.shape[-1] // 2) * 4),
+                dtype=self.dtype, param_dtype=jnp.float32, name='up')(x1)
             mid = None
         x1 = pad_to_match(x1, x2.shape[1], x2.shape[2])
         # [skip, up] order (ref layers.py:105); the concat is virtual —
@@ -268,7 +299,7 @@ class _PsiReduce(nn.Module):
     step across the four gates. The identical contraction as a
     broadcast-multiply + lane reduction runs on the VPU and fuses with
     the surrounding elementwise work. The parameter keeps nn.Conv's
-    exact name/shape/init ((1, 1, C, 1), lecun_normal — same fan-in),
+    exact name/shape/init ((1, 1, C, 1), torch-matched kaiming),
     so checkpoints and the torch-port mapping are unchanged.
     """
 
@@ -279,7 +310,7 @@ class _PsiReduce(nn.Module):
         import jax
 
         c = a.shape[-1]
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+        kernel = self.param('kernel', _TORCH_CONV_INIT,
                             (1, 1, c, 1), jnp.float32)
         a = a.astype(self.dtype)
         from unet_tpu.core.setup import env_flag
@@ -324,10 +355,12 @@ class AttentionGate(nn.Module):
 
         inter = (self.inter_channels if self.inter_channels is not None
                  else x.shape[-1] // 2)
-        w_g = nn.Conv(inter, (1, 1), use_bias=False, dtype=self.dtype,
+        w_g = nn.Conv(inter, (1, 1), use_bias=False,
+                      kernel_init=_TORCH_CONV_INIT, dtype=self.dtype,
                       param_dtype=jnp.float32, name='w_g')
         bn_g = _bn(train, 'bn_g', self.dtype)
-        w_x = nn.Conv(inter, (1, 1), use_bias=False, dtype=self.dtype,
+        w_x = nn.Conv(inter, (1, 1), use_bias=False,
+                      kernel_init=_TORCH_CONV_INIT, dtype=self.dtype,
                       param_dtype=jnp.float32, name='w_x')
         bn_x = _bn(train, 'bn_x', self.dtype)
         psi = _PsiReduce(dtype=self.dtype, name='psi')
@@ -410,9 +443,11 @@ class AttentionUp(nn.Module):
             x1 = upsample2x_align_corners(x1)
             mid = (x1.shape[-1] + x2.shape[-1]) // 2
         else:
-            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
-                                  use_bias=True, dtype=self.dtype,
-                                  param_dtype=jnp.float32, name='up')(x1)
+            x1 = nn.ConvTranspose(
+                x1.shape[-1] // 2, (2, 2), strides=(2, 2), use_bias=True,
+                kernel_init=_TORCH_CONVT_INIT,
+                bias_init=_torch_bias_init((x1.shape[-1] // 2) * 4),
+                dtype=self.dtype, param_dtype=jnp.float32, name='up')(x1)
             mid = None
         x1 = pad_to_match(x1, x2_att.shape[1], x2_att.shape[2])
         return DoubleConv(self.out_channels, mid_channels=mid,
