@@ -17,6 +17,10 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / 'tests'))
+# flat module import (like test_toolkits) rather than the 'toolkits.'
+# package form: other tests put /root/reference on sys.path, which also
+# has a namespace-package 'toolkits' and could win the resolution
+sys.path.insert(0, str(REPO / 'toolkits'))
 
 from test_toolkits import _make_gt_pkl, write_nifti1  # noqa: E402
 
@@ -46,7 +50,7 @@ def test_convert_cache_train_onramp(tmp_path):
 
     # ---- stage 1: converter CLI (writes dataset_stats.json +
     # file_list.txt alongside the PNGs) ----
-    from toolkits.convert_medical_segmentation import main as convert_main
+    from convert_medical_segmentation import main as convert_main
     out = tmp_path / 'dataset'
     argv = ['convert', '--input', str(tmp_path / 'src'),
             '--output', str(out), '--empty-ratio', '0.5', '--seed', '7']
