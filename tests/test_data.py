@@ -304,3 +304,44 @@ def test_batchloader_raw_uint8(rng):
     imf, mkf = next(iter(BatchLoader(ds, 2)))
     np.testing.assert_allclose(im[..., 0] / 255.0, imf[..., 0], atol=1/255)
     np.testing.assert_array_equal(mk, mkf)
+
+
+def test_grid_sample_fused_matches_pair(rng):
+    """The one-gather warp (_grid_sample_fused) must be bit-identical to
+    _grid_sample_bilinear + _grid_sample_nearest on every regime: in
+    range, out of range (zero border), exact borders, and exact-half
+    coordinates (round-half-even ties)."""
+    import jax.numpy as jnp
+
+    from unet_tpu.data.augmentations import (_grid_sample_bilinear,
+                                             _grid_sample_fused,
+                                             _grid_sample_nearest)
+
+    n, h, w = 3, 24, 20
+    images = jnp.asarray(rng.random((n, h, w, 1)).astype(np.float32))
+    masks = jnp.asarray((rng.random((n, h, w)) > 0.6).astype(np.int32))
+
+    cases = {
+        'random_in_range': (
+            rng.random((n, h, w)).astype(np.float32) * (h - 1),
+            rng.random((n, h, w)).astype(np.float32) * (w - 1)),
+        'out_of_range': (
+            (rng.random((n, h, w)).astype(np.float32) * (h + 8) - 4),
+            (rng.random((n, h, w)).astype(np.float32) * (w + 8) - 4)),
+        # exact integers and exact halves (both parities) hit the
+        # round-half-even tie rule and the border clamps
+        'halves_and_borders': (
+            np.asarray(rng.integers(0, 2 * h - 1, (n, h, w)),
+                       np.float32) / 2.0,
+            np.asarray(rng.integers(0, 2 * w - 1, (n, h, w)),
+                       np.float32) / 2.0),
+    }
+    for name, (rows, cols) in cases.items():
+        rows, cols = jnp.asarray(rows), jnp.asarray(cols)
+        ref_i = _grid_sample_bilinear(images, rows, cols)
+        ref_m = _grid_sample_nearest(masks, rows, cols)
+        got_i, got_m = _grid_sample_fused(images, masks, rows, cols)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m),
+                                      err_msg=name)

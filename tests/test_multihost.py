@@ -82,10 +82,17 @@ def _env(n_devices: int) -> dict:
         'JAX_PLATFORM_NAME': 'cpu',
         'JAX_PLATFORMS': 'cpu',
         'XLA_FLAGS': f'--xla_force_host_platform_device_count={n_devices}',
-        # propagate this process's import paths (site dirs holding the
-        # TPU plugin etc.) instead of hardcoding machine-specific paths
+        # propagate this process's import paths, EXCEPT site dirs that
+        # install a sitecustomize hook: those register accelerator
+        # plugins at interpreter start, and a hardware plugin handshake
+        # can block a pure-CPU worker indefinitely when another process
+        # holds the device (observed: workers wedged for 600s because a
+        # TPU training run was live; the timed-out worker then leaked
+        # and wedged the NEXT run too)
         'PYTHONPATH': os.pathsep.join(
-            [str(REPO)] + [p for p in sys.path if p and p != str(REPO)]),
+            [str(REPO)] + [p for p in sys.path
+                           if p and p != str(REPO)
+                           and not (Path(p) / 'sitecustomize.py').exists()]),
     })
     return env
 

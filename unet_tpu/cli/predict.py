@@ -239,7 +239,9 @@ def main():
 
     # pipelined drive loop: decode (background thread) || TPU compute
     # (async dispatch) || postprocess+save (this thread, one chunk behind)
+    import time
     from collections import deque
+    t_drive = time.time()
     inflight = deque()
     for batch, metas, n_real in background_iter(decoded_chunks()):
         probs = predict_step(variables['params'], variables['batch_stats'],
@@ -252,10 +254,13 @@ def main():
         probs0, metas0, n0 = inflight.popleft()
         postprocess(np.asarray(probs0[..., 1]), metas0, n0)
     n_failed = len(skipped)
+    drive_dt = time.time() - t_drive
 
     n_done = len(coverages)
     print(f'\nProcessed {n_done}/{len(files)} images '
-          f'({n_failed} failed)')
+          f'({n_failed} failed) in {drive_dt:.1f}s '
+          f'({n_done / max(drive_dt, 1e-9):.1f} slices/s end-to-end, '
+          f'incl. any jit compile)')
     if n_done:
         print(f'Images with tumor: {n_with_tumor} '
               f'({100.0 * n_with_tumor / n_done:.1f}%)')

@@ -17,6 +17,7 @@ train.py:103-161):
 
 import argparse
 import time
+from collections import deque
 from pathlib import Path
 
 import numpy as np
@@ -123,7 +124,8 @@ def main():
     enable_compilation_cache()
 
     from unet_tpu.core.mesh import (batch_sharding, create_mesh,
-                                    replicate, shard_batch)
+                                    replicate)
+    from unet_tpu.ops.bitpack import pack_masks, unpack_masks
     from unet_tpu.data import (AugmentConfig, BatchLoader, SliceDataset,
                                SyntheticSliceDataset,
                                augment_batch_seeded,
@@ -256,6 +258,9 @@ def main():
     mesh = create_mesh(jax.devices()[:dp], data_parallel=dp)
     data_sh = (batch_sharding(mesh, batch_axis=0)
                if mesh.devices.size > 1 else None)     # eval batches
+    sb_sh = (batch_sharding(mesh, batch_axis=1)
+             if mesh.devices.size > 1 else None)       # (A, B, ...) train
+                                                       # super-batches
     if batch_size % dp != 0:
         raise ValueError(f'batch_size {batch_size} must be divisible by '
                          f'the data-parallel degree {dp}')
@@ -432,8 +437,14 @@ def main():
         # force a host sync (measured ~28 ms round-trip through the TPU
         # tunnel) and stall the prefetch pipeline every step
         loss_sum, cm_sum, n_batches = None, None, 0
+
+        def packed_val_batches():
+            for images, masks in val_loader:
+                yield images, pack_masks(masks)  # 1 bit/px on the wire
+
         for b, (images, masks) in enumerate(
-                prefetch_to_device(val_loader, data_sh)):
+                prefetch_to_device(packed_val_batches(), data_sh)):
+            masks = unpack_masks(masks, img_size)
             images = normalize_batch(images.astype(jnp.float32) / 255.0)
             if n_proc > 1:
                 # pad rows (repeated tail samples) get weight 0: the
@@ -444,10 +455,10 @@ def main():
                 # plain numpy: multi-controller jit treats host arrays
                 # as replicated (identical on every process)
                 loss, cm = eval_step(params, batch_stats, images,
-                                     masks.astype(jnp.int32), w)
+                                     masks, w)
             else:
                 loss, cm = eval_step(params, batch_stats, images,
-                                     masks.astype(jnp.int32))
+                                     masks)
             loss_sum = loss if loss_sum is None else loss_sum + loss
             cm_sum = cm if cm_sum is None else cm_sum + cm
             n_batches += 1
@@ -480,20 +491,50 @@ def main():
 
         # ---- train ----
         loss_sums, n_micro = [], 0  # device scalars; sync at epoch end
-        pending = []  # microbatches awaiting a super-batch
 
-        def flush(pending_batches):
+        def host_superbatches():
+            """Stack ``accum`` microbatches into one super-batch payload
+            on the host: images stay uint8 and masks ship bit-packed
+            (ops/bitpack) — on a thin host link the wire is the train
+            loop's bottleneck (measured; docs/DESIGN.md 'End-to-end
+            input pipeline')."""
+            nonlocal n_micro
+            pending = []
+
+            def emit(pending_batches):
+                k = len(pending_batches)
+                mb = np.zeros((accum,), np.float32)
+                mb[:k] = 1.0
+                while len(pending_batches) < accum:  # pad (masked out)
+                    pending_batches.append(pending_batches[-1])
+                imgs = np.stack([b[0] for b in pending_batches])
+                msks = pack_masks(
+                    np.stack([b[1] for b in pending_batches]))
+                return imgs, msks, mb
+
+            for images, masks in train_loader:
+                pending.append((images, masks))
+                n_micro += 1
+                if len(pending) == accum:
+                    yield emit(pending)
+                    pending = []
+            if pending:  # leftover flush (ref train.py:153-159)
+                yield emit(pending)
+
+        # microbatch-valid masks ride a host-side FIFO next to the
+        # device prefetch: multi-controller jit needs them as replicated
+        # numpy, never device arrays
+        mb_queue = deque()
+
+        def device_stream():
+            for imgs, msks, mb in host_superbatches():
+                mb_queue.append(mb)
+                yield imgs, msks
+
+        def step(imgs, msks, mask):
             nonlocal state, aug_step
-            k = len(pending_batches)
-            mask = np.zeros((accum,), np.float32)
-            mask[:k] = 1.0
-            while len(pending_batches) < accum:  # pad (masked out)
-                pending_batches.append(pending_batches[-1])
-            imgs = np.stack([b[0] for b in pending_batches])
-            msks = np.stack([b[1] for b in pending_batches])
-            imgs, msks = shard_batch(mesh, (imgs, msks), batch_axis=1)
             imgs = imgs.astype(jnp.float32) / 255.0
-            msks = msks.astype(jnp.int32)
+            msks = unpack_masks(msks, img_size)
             if augment_enabled:
                 flat_i = imgs.reshape(accum * micro_bs, img_size, img_size,
                                       -1)
@@ -516,15 +557,15 @@ def main():
             # the async dispatch pipeline every super-batch
             loss_sums.append(loss_sum)
 
-        for images, masks in train_loader:
-            pending.append((images, masks))
-            n_micro += 1
-            if len(pending) == accum:
-                flush(pending)
-                pending = []
-        if pending:  # leftover flush (ref train.py:153-159)
-            flush(pending)
+        # double-buffered device prefetch: super-batch i+1 crosses the
+        # host link while i computes (same machinery as the val loop)
+        for imgs, msks in prefetch_to_device(device_stream(), sb_sh):
+            step(imgs, msks, mb_queue.popleft())
         train_loss = float(sum(float(s) for s in loss_sums)) / max(n_micro, 1)
+        # the float() syncs above force every dispatched step to retire,
+        # so this is honest end-to-end train wall time (host pipeline +
+        # transfers + compute), exclusive of validation
+        train_dt = time.time() - t0
         if epoch_trace:
             epoch_trace.__exit__(None, None, None)
 
@@ -554,8 +595,9 @@ def main():
             val_results['class_dice'].get('tumor', 0.0))
         history['lr'].append(lr)
 
-        log(f'  Train Loss: {train_loss:.4f}  ({dt:.1f}s, '
-              f'{len(train_ds) / max(dt, 1e-9):.1f} slices/s)')
+        log(f'  Train Loss: {train_loss:.4f}  ({train_dt:.1f}s, '
+              f'{len(train_ds) / max(train_dt, 1e-9):.1f} slices/s; '
+              f'val {dt - train_dt:.1f}s)')
         log(f"  Val [{val_model_name}]: Loss={val_results['loss']:.4f} | "
               f"Dice={val_results['mean_dice']:.4f} | "
               f"IoU={val_results['mean_iou']:.4f} | "
