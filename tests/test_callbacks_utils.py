@@ -147,3 +147,33 @@ def test_plots_smoke(tmp_path, rng):
                              save_path=tmp_path / 'overlay.png')
     for f in ('curves.png', 'preds.png', 'cm.png', 'overlay.png'):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_checkpoint_meta_publish_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background meta.json publication (disk full after the
+    orbax commit) must raise at the next wait()/close(), not leave a
+    silently unrestorable checkpoint."""
+    import jax.numpy as jnp
+    import pytest
+
+    from unet_tpu.train import callbacks as cb
+
+    cm = cb.CheckpointManager(tmp_path / 'w', monitor='m', mode='max',
+                              use_async=True)
+    state = {'p': jnp.zeros((2,))}
+
+    real_dumps = cb.json.dumps
+
+    def boom(*a, **k):
+        if k.get('default') is float:  # only the meta.json publish call
+            raise OSError('no space left on device')
+        return real_dumps(*a, **k)    # orbax's own metadata writes pass
+    monkeypatch.setattr(cb.json, 'dumps', boom)
+    cm._write('last', state, {'params': state}, 0, {'m': 1.0}, None, None)
+    with pytest.raises(RuntimeError, match='not resumable'):
+        cm.wait()
+    # the error is consumed: the manager is usable again afterwards
+    monkeypatch.undo()
+    cm._write('last', state, {'params': state}, 1, {'m': 2.0}, None, None)
+    cm.close()
+    assert (tmp_path / 'w' / 'last' / 'meta.json').exists()

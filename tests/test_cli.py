@@ -299,3 +299,33 @@ def test_predict_cli_end_to_end(tmp_path):
     m = np.asarray(Image.open(masks[0]))
     assert m.shape == (48, 48)  # restored to original size
     assert set(np.unique(m)) <= {0, 255}
+
+
+def test_predict_background_iter_consumer_abort():
+    """If the consumer aborts mid-iteration, the producer thread must
+    terminate instead of parking forever on the bounded queue."""
+    import threading
+    import time
+
+    from unet_tpu.cli.predict import background_iter
+
+    started = threading.Event()
+    produced = []
+
+    def gen():
+        for i in range(100):
+            started.set()
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    with pytest.raises(ValueError):
+        for item in background_iter(gen(), depth=2):
+            raise ValueError('downstream failure')
+    started.wait(5)
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    # bounded: the producer did not race through the whole generator
+    assert len(produced) <= 10

@@ -345,3 +345,21 @@ def test_grid_sample_fused_matches_pair(rng):
                                       err_msg=name)
         np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m),
                                       err_msg=name)
+
+
+def test_synthetic_dataset_cross_process_reproducible():
+    """The synthetic generator must produce byte-identical content for a
+    given seed in EVERY interpreter: the cross-framework parity corpus
+    (scripts/export_synthetic.py, docs/parity_r3) depends on it. The
+    original implementation seeded with Python's salted hash() and
+    silently violated this — the pinned CRCs below fail under any
+    per-process seeding."""
+    import zlib
+
+    from unet_tpu.data.dataset import SyntheticSliceDataset
+
+    ds = SyntheticSliceDataset(num_volumes=2, slices_per_volume=2,
+                               img_size=64, split='all', seed=42)
+    img, msk = ds.load(0)
+    assert zlib.crc32(np.ascontiguousarray(img).tobytes()) == 2578097029
+    assert zlib.crc32(np.ascontiguousarray(msk).tobytes()) == 2760879642

@@ -134,28 +134,44 @@ def create_overlay(image_path, mask, alpha=0.4):
 def background_iter(gen, depth: int = 2):
     """Run a generator on a daemon thread with a bounded queue: the
     producer (host decode) stays ``depth`` items ahead of the consumer
-    (device dispatch) without unbounded buffering."""
+    (device dispatch) without unbounded buffering. If the consumer
+    aborts mid-iteration (an exception downstream), the producer is
+    unblocked and stops instead of parking forever on the full queue
+    (which would leak the thread plus ``depth`` decoded batches per
+    aborted call when main() is driven programmatically)."""
     import queue
     import threading
     q = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in gen:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(done)
         except BaseException as e:  # surfaced in the consumer
             q.put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def gather_sources(source):

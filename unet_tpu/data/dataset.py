@@ -164,7 +164,13 @@ class SyntheticSliceDataset:
 
     def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         name = self.files[idx]
-        rng = np.random.default_rng(hash((self.seed, name)) % (2 ** 32))
+        # crc32, NOT hash(): Python's hash is salted per interpreter
+        # (PYTHONHASHSEED), which silently broke the "same seed =>
+        # byte-identical corpus" contract scripts/export_synthetic.py
+        # and the cross-framework control (docs/parity_r3) rely on
+        import zlib
+        rng = np.random.default_rng(
+            zlib.crc32(f'{self.seed}:{name}'.encode()))
         s = self.img_size
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
         # lung-ish background: two soft ellipses + noise

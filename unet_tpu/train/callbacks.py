@@ -137,22 +137,36 @@ class CheckpointManager:
         # epoch's save (the old design) left a whole-epoch window where a
         # crash paired epoch-N tensors with an epoch-N-1 meta.json.
         self._publisher = None
+        self._publish_error: Optional[BaseException] = None
 
     def _publish(self, path: Path, meta: Dict) -> None:
-        self._ckptr.wait_until_finished()
-        self._ckptr_model.wait_until_finished()
-        tmp = path / 'meta.json.tmp'
-        tmp.write_text(json.dumps(meta, default=float))
-        tmp.rename(path / 'meta.json')  # atomic publish
+        try:
+            self._ckptr.wait_until_finished()
+            self._ckptr_model.wait_until_finished()
+            tmp = path / 'meta.json.tmp'
+            tmp.write_text(json.dumps(meta, default=float))
+            tmp.rename(path / 'meta.json')  # atomic publish
+        except BaseException as e:  # surfaced by the next wait()/close()
+            # a meta-less checkpoint is unrestorable by --resume auto;
+            # swallowing this would let training report saved
+            # checkpoints that a preemption can't recover from
+            self._publish_error = e
+            raise
 
     def wait(self) -> None:
         """Block until all in-flight async saves are durable and their
-        meta.json files are published."""
+        meta.json files are published. Raises if a background publish
+        failed (e.g. disk full after the tensor commit)."""
         if self._publisher is not None:
             self._publisher.join()
             self._publisher = None
         self._ckptr.wait_until_finished()
         self._ckptr_model.wait_until_finished()
+        if self._publish_error is not None:
+            err, self._publish_error = self._publish_error, None
+            raise RuntimeError(
+                'checkpoint meta.json publication failed; the checkpoint '
+                'is not resumable') from err
 
     def close(self) -> None:
         self.wait()
