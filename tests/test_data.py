@@ -363,3 +363,24 @@ def test_synthetic_dataset_cross_process_reproducible():
     img, msk = ds.load(0)
     assert zlib.crc32(np.ascontiguousarray(img).tobytes()) == 2578097029
     assert zlib.crc32(np.ascontiguousarray(msk).tobytes()) == 2760879642
+
+
+def test_augment_config_from_yaml_keys():
+    """Reference keys AND the r3 extension keys (used by the
+    parity-control config to express the reference's hflip-only
+    fallback transform set) map onto AugmentConfig fields; absent keys
+    keep the reference pipeline's hardcoded defaults."""
+    from unet_tpu.data.augmentations import AugmentConfig
+
+    cfg = AugmentConfig.from_yaml({
+        'horizontal_flip': 0.9, 'rotation_limit': 7, 'elastic': 0.0,
+        'brightness_contrast': 0.0, 'vertical_flip': 0.0, 'affine': 0.0,
+        'grid_distortion': 0.0, 'gauss_noise': 0.0, 'coarse_dropout': 0.0,
+    })
+    assert cfg.p_hflip == 0.9 and cfg.rotate_deg == 7.0
+    assert (cfg.p_elastic, cfg.p_brightness, cfg.p_vflip, cfg.p_affine,
+            cfg.p_grid, cfg.p_noise, cfg.p_dropout) == (0,) * 7
+
+    default = AugmentConfig.from_yaml(None)
+    ref = AugmentConfig()
+    assert default == ref  # absent section == reference pipeline defaults
