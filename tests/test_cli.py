@@ -44,7 +44,7 @@ def _write_config(tmp_path, **overrides):
 
 
 def _run_train(cfg_path, *extra):
-    from unet_tpu.cli.train import main, parse_args
+    from unet_tpu.cli.train import main
     argv = ['train', '--config', str(cfg_path), '--synthetic', *extra]
     old = sys.argv
     sys.argv = argv

@@ -99,7 +99,6 @@ def main():
     args = parse_args()
 
     # Backend choice must precede jax import side effects.
-    import os
     from unet_tpu.utils.config import load_config
     config = apply_overrides(load_config(args.config), args)
     import jax

@@ -10,7 +10,6 @@ key-threaded `jax.random` plus seeded host RNGs for file shuffling.
 from __future__ import annotations
 
 import random
-import re
 from pathlib import Path
 from typing import Dict, Union
 
