@@ -18,6 +18,7 @@
 #include <png.h>
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -85,43 +86,128 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err) {
   return true;
 }
 
-// PIL-convention bilinear resize (pixel centers at half-integers).
+// PIL-EXACT bilinear resize: Pillow's two-pass triangle-filter
+// resampling (Resample.c) reproduced bit-for-bit for 8-bit grayscale —
+// adaptive filter support (support widens to `scale` taps on
+// downscale), per-window double-precision coefficient normalization,
+// 22-bit fixed-point accumulation with half-up rounding, and clip8
+// after EACH pass (horizontal first into a temp image, then vertical).
+// Bit-exactness lets CachedSliceDataset serve identical pixels whether
+// the cache was built natively or by the PIL fallback, at any size
+// (asserted in tests/test_data.py).
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int in) {
+  if (in >= (1 << (kPrecisionBits + 8))) return 255;
+  if (in <= 0) return 0;
+  return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+inline double triangle_filter(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc for one axis.
+void pil_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                std::vector<int>* kk, int* ksize_out) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // bilinear support = 1.0
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  *ksize_out = ksize;
+  bounds->assign(static_cast<size_t>(out_size) * 2, 0);
+  kk->assign(static_cast<size_t>(out_size) * ksize, 0);
+  std::vector<double> k(ksize);
+  const double ss = 1.0 / filterscale;
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = triangle_filter((x + xmin - center + 0.5) * ss);
+      k[x] = w;
+      ww += w;
+    }
+    for (int x = 0; x < xmax; ++x) {
+      if (ww != 0.0) k[x] /= ww;
+    }
+    int* ki = kk->data() + static_cast<size_t>(xx) * ksize;
+    for (int x = 0; x < xmax; ++x) {
+      // Pillow normalize_coeffs_8bpc: round-half-away-from-zero into
+      // fixed point
+      ki[x] = k[x] < 0
+                  ? static_cast<int>(-0.5 + k[x] * (1 << kPrecisionBits))
+                  : static_cast<int>(0.5 + k[x] * (1 << kPrecisionBits));
+    }
+    (*bounds)[static_cast<size_t>(xx) * 2] = xmin;
+    (*bounds)[static_cast<size_t>(xx) * 2 + 1] = xmax;
+  }
+}
+
 void resize_bilinear(const Gray8& src, uint8_t* dst, int size) {
-  const float sx = static_cast<float>(src.w) / size;
-  const float sy = static_cast<float>(src.h) / size;
-  for (int y = 0; y < size; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    if (fy < 0) fy = 0;
-    int y0 = static_cast<int>(fy);
-    if (y0 > src.h - 1) y0 = src.h - 1;
-    int y1 = y0 + 1 < src.h ? y0 + 1 : src.h - 1;
-    float wy = fy - y0;
+  std::vector<int> xb, xk, yb, yk;
+  int xks = 0, yks = 0;
+  pil_coeffs(src.w, size, &xb, &xk, &xks);
+  pil_coeffs(src.h, size, &yb, &yk, &yks);
+
+  // horizontal pass: (src.h, src.w) -> (src.h, size)
+  std::vector<uint8_t> tmp(static_cast<size_t>(src.h) * size);
+  for (int y = 0; y < src.h; ++y) {
+    const uint8_t* row = src.data.data() + static_cast<size_t>(y) * src.w;
+    for (int xx = 0; xx < size; ++xx) {
+      const int xmin = xb[static_cast<size_t>(xx) * 2];
+      const int xmax = xb[static_cast<size_t>(xx) * 2 + 1];
+      const int* k = xk.data() + static_cast<size_t>(xx) * xks;
+      int ss0 = 1 << (kPrecisionBits - 1);
+      for (int x = 0; x < xmax; ++x) ss0 += row[x + xmin] * k[x];
+      tmp[static_cast<size_t>(y) * size + xx] = clip8(ss0);
+    }
+  }
+  // vertical pass: (src.h, size) -> (size, size)
+  for (int yy = 0; yy < size; ++yy) {
+    const int ymin = yb[static_cast<size_t>(yy) * 2];
+    const int ymax = yb[static_cast<size_t>(yy) * 2 + 1];
+    const int* k = yk.data() + static_cast<size_t>(yy) * yks;
     for (int x = 0; x < size; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      if (fx < 0) fx = 0;
-      int x0 = static_cast<int>(fx);
-      if (x0 > src.w - 1) x0 = src.w - 1;
-      int x1 = x0 + 1 < src.w ? x0 + 1 : src.w - 1;
-      float wx = fx - x0;
-      float v = (1 - wy) * ((1 - wx) * src.data[y0 * src.w + x0] +
-                            wx * src.data[y0 * src.w + x1]) +
-                wy * ((1 - wx) * src.data[y1 * src.w + x0] +
-                      wx * src.data[y1 * src.w + x1]);
-      dst[y * size + x] = static_cast<uint8_t>(v + 0.5f);
+      int ss0 = 1 << (kPrecisionBits - 1);
+      for (int y = 0; y < ymax; ++y)
+        ss0 += tmp[static_cast<size_t>(y + ymin) * size + x] * k[y];
+      dst[static_cast<size_t>(yy) * size + x] = clip8(ss0);
     }
   }
 }
 
-// PIL NEAREST convention: floor((i + 0.5) * in / out).
+// PIL-EXACT nearest resize. Pillow routes resize(NEAREST) through
+// Geometry.c ImagingScaleAffine, which walks the source coordinate by
+// REPEATED double addition (`xx = a0*0.5; ...; xx += a0`) and
+// truncates — the accumulated IEEE rounding drift flips the pick at
+// exact integer boundaries in either direction (e.g. 512->200 picks
+// source 31 at output 12 but 96 at output 37, both ideal-exact
+// boundaries). Reproducing the same accumulation makes the mask plane
+// land on identical pixels as the PIL fallback (bitwise cache parity,
+// verified against Pillow across up/downscales in tests/test_data.py).
 void resize_nearest(const Gray8& src, uint8_t* dst, int size) {
+  const double a0 = static_cast<double>(src.w) / size;
+  const double a4 = static_cast<double>(src.h) / size;
+  std::vector<int> xin(size);
+  double xx = a0 * 0.5;
+  for (int x = 0; x < size; ++x) {
+    int v = static_cast<int>(xx);
+    xin[x] = v > src.w - 1 ? src.w - 1 : v;
+    xx += a0;
+  }
+  double yy = a4 * 0.5;
   for (int y = 0; y < size; ++y) {
-    int sy = static_cast<int>((y + 0.5f) * src.h / size);
-    if (sy > src.h - 1) sy = src.h - 1;
-    for (int x = 0; x < size; ++x) {
-      int sx = static_cast<int>((x + 0.5f) * src.w / size);
-      if (sx > src.w - 1) sx = src.w - 1;
-      dst[y * size + x] = src.data[sy * src.w + sx];
-    }
+    int syi = static_cast<int>(yy);
+    if (syi > src.h - 1) syi = src.h - 1;
+    yy += a4;
+    const uint8_t* row = src.data.data() + static_cast<size_t>(syi) * src.w;
+    for (int x = 0; x < size; ++x) dst[y * size + x] = row[xin[x]];
   }
 }
 

@@ -86,14 +86,13 @@ def test_convert_cache_train_onramp(tmp_path):
         direct = SliceDataset(out, split, img_size=32, val_ratio=0.25,
                               seed=11)
         assert cached.files == direct.files
-        # and serve the same pixels for the same index (uint8 wire).
-        # Masks (NEAREST) must match exactly; image intensities allow
-        # the native builder's documented ±1 rounding delta vs PIL on
-        # resized builds (tests/test_data.py:233-245)
+        # and serve bit-identical pixels for the same index (the native
+        # builder reproduces Pillow's exact resampling — see
+        # tests/test_data.py::test_slice_cache_native_and_python)
         ci, cm = cached.load_raw(0)
         di, dm = direct.load_raw(0)
+        np.testing.assert_array_equal(ci, di)
         np.testing.assert_array_equal(cm, dm)
-        assert abs(ci.astype(int) - di.astype(int)).max() <= 2
 
     n_train = len(CachedSliceDataset(blob, 'train', val_ratio=0.25,
                                      seed=11))
