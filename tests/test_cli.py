@@ -329,3 +329,46 @@ def test_predict_background_iter_consumer_abort():
     assert threading.active_count() <= before
     # bounded: the producer did not race through the whole generator
     assert len(produced) <= 10
+
+
+def test_predict_cli_multidevice_sharding(tmp_path):
+    """With batch_size divisible by the local device count, predict
+    shards each chunk over the mesh (GSPMD data-parallel inference).
+    The forward has no cross-sample coupling in eval mode (running BN
+    stats), so sharded masks must equal the single-device ones."""
+    import jax
+    from PIL import Image
+
+    from unet_tpu.cli.predict import main as predict_main
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs a multi-device (virtual) backend')
+
+    cfg = _write_config(tmp_path)
+    _run_train(cfg, '--name', 'for_mdp')
+    weights = tmp_path / 'runs' / 'for_mdp' / 'weights' / 'last'
+
+    src = tmp_path / 'imgs'
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(10):  # non-multiple of 8: exercises the padded tail
+        Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)
+                        ).save(src / f'im_{i}.png')
+
+    def run(out, bs):
+        argv = ['predict', '--weights', str(weights), '--source',
+                str(src), '--output', str(out), '--img-size', '32',
+                '--batch-size', str(bs)]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            predict_main()
+        finally:
+            sys.argv = old
+
+    run(tmp_path / 'sharded', len(jax.devices()))   # mesh path
+    run(tmp_path / 'single', 2)                     # 1-device path
+    for i in range(10):
+        a = np.asarray(Image.open(tmp_path / 'sharded' / f'im_{i}_mask.png'))
+        b = np.asarray(Image.open(tmp_path / 'single' / f'im_{i}_mask.png'))
+        np.testing.assert_array_equal(a, b)

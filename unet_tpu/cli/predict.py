@@ -203,6 +203,19 @@ def main():
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     bs = max(1, args.batch_size)
+    # data-parallel directory inference: when the global batch divides
+    # the local device count, shard each chunk's batch dim over a mesh
+    # and replicate the params — GSPMD splits the forward across chips
+    # (the reference serves on one GPU, batch 1; ref predict.py:284-309)
+    devices = jax.devices()
+    data_sh = None
+    if len(devices) > 1 and bs % len(devices) == 0:
+        from unet_tpu.core.mesh import (batch_sharding, create_mesh,
+                                        replicate)
+        mesh = create_mesh(devices, data_parallel=len(devices))
+        data_sh = batch_sharding(mesh, batch_axis=0)
+        variables = replicate(mesh, variables)
+        print(f'Sharding batches over {len(devices)} devices')
     thresholds = [float(t) for t in str(args.threshold).split(',')]
     main_thr = thresholds[0]
 
@@ -260,8 +273,10 @@ def main():
     t_drive = time.time()
     inflight = deque()
     for batch, metas, n_real in background_iter(decoded_chunks()):
+        batch = (jax.device_put(batch, data_sh) if data_sh is not None
+                 else jnp.asarray(batch))
         probs = predict_step(variables['params'], variables['batch_stats'],
-                             jnp.asarray(batch))
+                             batch)
         inflight.append((probs, metas, n_real))
         if len(inflight) > 1:  # keep one chunk computing on device
             probs0, metas0, n0 = inflight.popleft()
