@@ -97,6 +97,54 @@ def load_torch_checkpoint(path):
     return ckpt, {}, None
 
 
+def export_torch_state_dict(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Inverse of ``convert_torch_state_dict``: flatten a flax
+    ``{'params', 'batch_stats'}`` tree into a reference-named torch
+    state dict (numpy values; layout transposes inverted). Includes the
+    ``num_batches_tracked`` entries torch BatchNorm state dicts carry,
+    so the reference model's strict ``load_state_dict`` accepts it.
+    """
+    out: Dict[str, Any] = {}
+    names = {'kernel': 'weight', 'scale': 'weight', 'bias': 'bias',
+             'mean': 'running_mean', 'var': 'running_var'}
+    for coll in ('params', 'batch_stats'):
+        if coll not in variables:
+            continue
+        for path, arr in flatten_dict(dict(variables[coll])).items():
+            *mods, leaf = path
+            prefix = _torch_prefix(tuple(mods))
+            arr = np.asarray(arr)
+            if leaf == 'kernel':
+                if mods[-1] == 'up':  # ConvTranspose2d: (I, O, kh, kw)
+                    arr = arr[::-1, ::-1].transpose(2, 3, 0, 1).copy()
+                else:                 # Conv2d: (O, I, kh, kw)
+                    arr = arr.transpose(3, 2, 0, 1).copy()
+            out[f'{prefix}.{names[leaf]}'] = arr
+            if coll == 'batch_stats' and leaf == 'mean':
+                out[f'{prefix}.num_batches_tracked'] = np.asarray(
+                    0, np.int64)
+    return out
+
+
+def save_torch_checkpoint(path, variables: Mapping[str, Any],
+                          config: Mapping[str, Any] | None = None,
+                          epoch: int = 0,
+                          metrics: Mapping[str, Any] | None = None) -> None:
+    """Write a reference-format ``.pt`` checkpoint (the ModelCheckpoint
+    payload, ref unet/utils/callbacks.py:185-196) from flax variables —
+    the reverse migration path: checkpoints trained here load directly
+    into the reference torch project (and into our predict CLI's .pt
+    serving path). Requires torch (CPU build is fine)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          if np.ndim(v) else torch.tensor(v)
+          for k, v in export_torch_state_dict(variables).items()}
+    torch.save({'epoch': int(epoch), 'model_state_dict': sd,
+                'metrics': dict(metrics or {}),
+                'config': dict(config or {})}, path)
+
+
 def convert_torch_state_dict(state_dict: Mapping[str, Any],
                              variables: Mapping[str, Any]) -> Dict[str, Any]:
     """Fill a flax variables template (from ``model.init`` or
