@@ -37,6 +37,7 @@ setup(
             'unet-train=unet_tpu.cli.train:main',
             'unet-predict=unet_tpu.cli.predict:main',
             'unet-overfit-test=unet_tpu.cli.overfit:main',
+            'unet-export-torch=unet_tpu.cli.export_torch:main',
         ],
     },
 )
