@@ -150,10 +150,6 @@ void pil_coeffs(int in_size, int out_size, std::vector<int>* bounds,
 }
 
 void resize_bilinear(const Gray8& src, uint8_t* dst, int size) {
-  if (src.w == size && src.h == size) {  // identity (coeffs reduce to 1)
-    std::memcpy(dst, src.data.data(), static_cast<size_t>(size) * size);
-    return;
-  }
   std::vector<int> xb, xk, yb, yk;
   int xks = 0, yks = 0;
   pil_coeffs(src.w, size, &xb, &xk, &xks);
@@ -196,10 +192,6 @@ void resize_bilinear(const Gray8& src, uint8_t* dst, int size) {
 // land on identical pixels as the PIL fallback (bitwise cache parity,
 // verified against Pillow across up/downscales in tests/test_data.py).
 void resize_nearest(const Gray8& src, uint8_t* dst, int size) {
-  if (src.w == size && src.h == size) {  // identity walk picks i exactly
-    std::memcpy(dst, src.data.data(), static_cast<size_t>(size) * size);
-    return;
-  }
   const double a0 = static_cast<double>(src.w) / size;
   const double a4 = static_cast<double>(src.h) / size;
   std::vector<int> xin(size);

@@ -367,7 +367,9 @@ def test_predict_cli_multidevice_sharding(tmp_path):
             sys.argv = old
 
     run(tmp_path / 'sharded', len(jax.devices()))   # mesh path
-    run(tmp_path / 'single', 2)                     # 1-device path
+    # control batch size must NOT divide the device count, or the
+    # control itself takes the mesh path and the comparison is vacuous
+    run(tmp_path / 'single', len(jax.devices()) + 1)
     for i in range(10):
         a = np.asarray(Image.open(tmp_path / 'sharded' / f'im_{i}_mask.png'))
         b = np.asarray(Image.open(tmp_path / 'single' / f'im_{i}_mask.png'))

@@ -66,6 +66,19 @@ def test_export_loads_into_reference_with_forward_parity(tmp_path, mtype):
                                    train=False)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(j_out, t_out, atol=2e-5, rtol=2e-5)
 
+    # the reference's --resume path indexes optimizer_state_dict
+    # unconditionally (ref train.py:419): a fresh AdamW over the
+    # reference model must load it and take a step
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=1e-4)
+    ckpt = torch.load(pt, map_location='cpu', weights_only=False)
+    opt.load_state_dict(ckpt['optimizer_state_dict'])
+    assert opt.param_groups[0]['lr'] == pytest.approx(5e-5)  # cfg default
+    tmodel.train()
+    loss = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).sum()
+    loss.backward()
+    opt.step()
+    tmodel.eval()
+
     # round-trip: import the exported .pt back -> bit-identical tree
     from flax.traverse_util import flatten_dict
     back = convert_torch_state_dict(sd, variables)

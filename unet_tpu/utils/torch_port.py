@@ -133,14 +133,30 @@ def save_torch_checkpoint(path, variables: Mapping[str, Any],
     """Write a reference-format ``.pt`` checkpoint (the ModelCheckpoint
     payload, ref unet/utils/callbacks.py:185-196) from flax variables —
     the reverse migration path: checkpoints trained here load directly
-    into the reference torch project (and into our predict CLI's .pt
-    serving path). Requires torch (CPU build is fine)."""
+    into the reference torch project (predict, fine-tune, AND
+    ``--resume``: ref train.py:419 indexes ``optimizer_state_dict``
+    unconditionally, so a version-correct fresh AdamW state is included
+    — hyperparameters from the embedded config, moments reset, which
+    torch treats like its own lazily-initialized Adam state).
+    Requires torch (CPU build is fine)."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
           if np.ndim(v) else torch.tensor(v)
           for k, v in export_torch_state_dict(variables).items()}
+    # one param per trainable entry (buffers excluded), in state-dict
+    # order — matching AdamW(model.parameters()) on the reference side
+    n_params = sum(1 for k in sd
+                   if not k.endswith(('running_mean', 'running_var',
+                                      'num_batches_tracked')))
+    train_cfg = dict((config or {}).get('train') or {})
+    dummy = [torch.nn.Parameter(torch.zeros(1)) for _ in range(n_params)]
+    opt = torch.optim.AdamW(dummy,
+                            lr=float(train_cfg.get('lr', 5e-5)),
+                            weight_decay=float(
+                                train_cfg.get('weight_decay', 1e-4)))
     torch.save({'epoch': int(epoch), 'model_state_dict': sd,
+                'optimizer_state_dict': opt.state_dict(),
                 'metrics': dict(metrics or {}),
                 'config': dict(config or {})}, path)
 
