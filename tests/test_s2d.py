@@ -2,6 +2,8 @@
 both variants must reproduce lax.conv exactly (up to summation order),
 including through the gradient."""
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +34,9 @@ def test_s2d_roundtrip():
                                    (2, 5, 12, 8, 8)])
 def test_conv3x3_s2d_matches_lax_conv(variant, shape):
     n, h, w, c, co = shape
-    rng = np.random.default_rng(hash((variant, shape)) % 2**32)
+    # deterministic per-case seed (hash() is salted per interpreter run,
+    # which would make any failure reproduce run-dependently)
+    rng = np.random.default_rng(zlib.crc32(f'{variant}:{shape}'.encode()))
     x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((3, 3, c, co)), jnp.float32)
     got = conv3x3_s2d_w(x, k, variant)

@@ -145,20 +145,27 @@ def background_iter(gen, depth: int = 2):
     done = object()
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        """Stop-aware bounded put; True if enqueued. Every producer put
+        (items, sentinel, AND exceptions) must go through this — a
+        blocking ``q.put`` on the full queue parks the thread forever
+        when the consumer aborts exactly at generator exhaustion."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in gen:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(done)
+            put_or_stop(done)
         except BaseException as e:  # surfaced in the consumer
-            q.put(e)
+            put_or_stop(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -36,12 +36,20 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _pallas_warp_requested() -> bool:
+    """Opt-in gate for the Pallas banded warp kernel
+    (ops/pallas/warp.py). Read at trace time; default off until its
+    end-to-end TPU win is measured (house rule, docs/DESIGN.md)."""
+    return os.environ.get('UNET_TPU_PALLAS_WARP') == '1'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -369,7 +377,14 @@ def augment_batch(images: Array, masks: Array, key: Array,
     rows = lin[:, 0, 0, None, None] * pr + lin[:, 0, 1, None, None] * pc + cy
     cols = lin[:, 1, 0, None, None] * pr + lin[:, 1, 1, None, None] * pc + cx
 
-    if images.shape[-1] == 1:  # the CT pipeline: one fused gather
+    use_pallas = False
+    if images.shape[-1] == 1 and _pallas_warp_requested():
+        from unet_tpu.ops.pallas.warp import (grid_sample_fused_pallas,
+                                              warp_supported)
+        use_pallas = warp_supported(images)
+    if use_pallas:  # banded VMEM-local gather, bit-equal to the fused path
+        images, masks = grid_sample_fused_pallas(images, masks, rows, cols)
+    elif images.shape[-1] == 1:  # the CT pipeline: one fused gather
         images, masks = _grid_sample_fused(images, masks, rows, cols)
     else:
         images = _grid_sample_bilinear(images, rows, cols)

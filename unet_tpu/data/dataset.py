@@ -243,7 +243,9 @@ class BatchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.num_threads = num_threads
+        # torch-DataLoader semantics: num_workers=0 = load synchronously
+        # in the consumer process; one pool thread is the equivalent here
+        self.num_threads = max(1, num_threads)
         self.raw_uint8 = raw_uint8
         self.pad_tail = pad_tail
         if local_slice is not None:

@@ -15,8 +15,10 @@ list [main, ds1(1/2), ds2(1/4), ds3(1/8)] (ref unet.py:209).
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,7 +32,25 @@ from unet_tpu.models.layers import (
 from unet_tpu.ops.resize import resize_bilinear_align_corners
 
 
-class UNet(nn.Module):
+class _ParamCount:
+    """``get_num_params`` API parity (ref unet/models/unet.py:94-106).
+
+    Flax modules hold no bound parameters, so the count takes the
+    variables dict (as returned by ``model.init``). Like torch's
+    ``.parameters()``, BatchNorm running stats are buffers and never
+    counted; every reference parameter has ``requires_grad=True``, so
+    ``trainable_only`` does not change the result there or here (the
+    flag is kept for signature parity)."""
+
+    def get_num_params(self, variables, trainable_only: bool = True) -> int:
+        params = variables.get('params', variables)
+        # shape-based count: works on concrete arrays and on the
+        # ShapeDtypeStructs produced by jax.eval_shape alike
+        return sum(math.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(params))
+
+
+class UNet(_ParamCount, nn.Module):
     """Vanilla U-Net. Ref unet/models/unet.py:16-106."""
 
     n_channels: int = 1
@@ -56,7 +76,7 @@ class UNet(nn.Module):
         return logits.astype(jnp.float32)
 
 
-class AttentionUNet(nn.Module):
+class AttentionUNet(_ParamCount, nn.Module):
     """Attention U-Net with optional deep supervision.
     Ref unet/models/unet.py:109-217.
     """

@@ -115,7 +115,9 @@ def export_torch_state_dict(variables: Mapping[str, Any]) -> Dict[str, Any]:
             prefix = _torch_prefix(tuple(mods))
             arr = np.asarray(arr)
             if leaf == 'kernel':
-                if mods[-1] == 'up':  # ConvTranspose2d: (I, O, kh, kw)
+                # guard the empty-path case so the exporter stays total
+                # over arbitrary flax trees (top-level unnested leaves)
+                if mods and mods[-1] == 'up':  # ConvTranspose2d: (I,O,kh,kw)
                     arr = arr[::-1, ::-1].transpose(2, 3, 0, 1).copy()
                 else:                 # Conv2d: (O, I, kh, kw)
                     arr = arr.transpose(3, 2, 0, 1).copy()
