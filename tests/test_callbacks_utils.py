@@ -74,7 +74,11 @@ def test_validate_config_rejects_bad():
         validate_config({'model': {'type': 'resnet'}})
     with pytest.raises(ValueError):
         validate_config({'model': {'type': 'unet'},
-                         'data': {'img_size': 100}})
+                         'data': {'img_size': 8}})
+    # non-multiples of 16 are VALID (the decoder pads the upsampled map
+    # to the skip, ref layers.py:98-102; end-to-end in test_odd_sizes.py)
+    validate_config({'model': {'type': 'unet'},
+                     'data': {'img_size': 100}})
 
 
 def test_checkpoint_manager_roundtrip(tmp_path):

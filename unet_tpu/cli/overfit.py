@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument('--synthetic', action='store_true')
     p.add_argument('--output', type=str, default='overfit_results')
     p.add_argument('--base-features', type=int, default=64)
+    p.add_argument('--device', type=str, default=None,
+                   help="force a backend (e.g. 'cpu'); default: JAX auto")
     return p.parse_args()
 
 
@@ -41,6 +43,11 @@ def run_overfit(args=None):
         args = parse_args()
 
     import jax
+    if str(getattr(args, 'device', None) or '').lower() == 'cpu':
+        # same in-process backend pin as the train/predict CLIs
+        # (cli/train.py:105-108): env vars are too late when a TPU
+        # plugin imports jax from sitecustomize at interpreter start
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import optax
 

@@ -82,9 +82,14 @@ def validate_config(cfg: Dict) -> Dict:
         raise ValueError(
             f"scheduler.type '{stype}' not in {_VALID_SCHEDULERS}")
     img_size = cfg.get('data', {}).get('img_size', 512)
-    if img_size % 16 != 0:
+    if img_size < 16:
+        # 4 pooling levels floor-halve the map; below 16 the bottleneck
+        # collapses. Non-multiples of 16 are fine: the decoder pads the
+        # upsampled map to the skip (ref layers.py:98-102), same here
+        # (models/layers.py pad_to_match) — exercised end-to-end in
+        # tests/test_odd_sizes.py.
         raise ValueError(
-            f'data.img_size must be divisible by 16 (4 pooling levels), '
+            f'data.img_size must be >= 16 (4 pooling levels), '
             f'got {img_size}')
     return cfg
 
