@@ -84,12 +84,20 @@ class TorchBatchNorm(nn.Module):
     momentum: float = _BN_MOMENTUM  # old-stat fraction (torch: 0.1 new)
     epsilon: float = _BN_EPS
     dtype: Any = jnp.float32
+    # >1: the input is a phase-packed layout (e.g. width-s2d, ops/s2d.py)
+    # whose channel axis is ``phases`` copies of the LOGICAL channels
+    # ([q=0 block | q=1 block | ...]). Stats are aggregated across the
+    # phase blocks so they equal the logical-layout stats exactly (each
+    # logical pixel appears in exactly one block), and the parameter /
+    # running-stat shapes stay per-LOGICAL-channel — the tree is
+    # identical to the phases=1 layout.
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         import jax
 
-        feats = x.shape[-1]
+        feats = x.shape[-1] // self.phases
         scale = self.param('scale', nn.initializers.ones_init(),
                            (feats,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros_init(),
@@ -102,13 +110,19 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            # f32 accumulation; under GSPMD the batch-axis reduction is
-            # global, so stats are effective-batch stats on any mesh
-            mean = jnp.mean(x, axes, dtype=jnp.float32)
-            mu2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axes)
+            # accumulate in >= f32 (f32 for the bf16/f32 compute paths,
+            # f64 under jax_enable_x64 parity tests); under GSPMD the
+            # batch-axis reduction is global, so stats are
+            # effective-batch stats on any mesh
+            acc = jnp.promote_types(jnp.float32, x.dtype)
+            mean = jnp.mean(x, axes, dtype=acc)
+            mu2 = jnp.mean(jnp.square(x.astype(acc)), axes)
+            if self.phases > 1:
+                mean = mean.reshape(self.phases, feats).mean(0)
+                mu2 = mu2.reshape(self.phases, feats).mean(0)
             var = jnp.maximum(mu2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = 1
+                n = self.phases
                 for a in axes:
                     n *= x.shape[a]
                 unbias = n / max(n - 1, 1)
@@ -116,8 +130,13 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * var * unbias
         mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
-        return ((x.astype(self.dtype) - mean.astype(self.dtype)) * mul
-                + bias.astype(self.dtype))
+        mean = mean.astype(self.dtype)
+        bias_c = bias.astype(self.dtype)
+        if self.phases > 1:
+            mul = jnp.tile(mul, self.phases)
+            mean = jnp.tile(mean, self.phases)
+            bias_c = jnp.tile(bias_c, self.phases)
+        return (x.astype(self.dtype) - mean) * mul + bias_c
 
 
 def _bn(train: bool, name: str, dtype=jnp.float32):
@@ -229,18 +248,89 @@ class DoubleConv(nn.Module):
 
 
 class Down(nn.Module):
-    """MaxPool(2) -> DoubleConv. Ref layers.py:44-61."""
+    """MaxPool(2) -> DoubleConv. Ref layers.py:44-61.
+
+    ``pre_pooled=True`` skips the pool: the producer already emitted a
+    pooled map (the s2d whole-level path fuses the pool into its layout
+    exit, see IncPoolS2D). The parameter tree is unchanged either way.
+    """
 
     out_channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        # elementwise-backward pooling kernel (ops/pool.py): avoids
-        # XLA's slow select_and_scatter in the train step
-        x = max_pool(x)
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 pre_pooled: bool = False) -> jnp.ndarray:
+        if not pre_pooled:
+            x = max_pool(x)
         return DoubleConv(self.out_channels, dtype=self.dtype,
                           name='conv')(x, train)
+
+
+class IncPoolS2D(nn.Module):
+    """The whole level-0 encoder block resident in width-s2d layout:
+    (Conv3x3 -> BN -> ReLU) x2 plus the FOLLOWING 2x2 max pool, with
+    exactly ONE layout boundary (the decoder-skip d2s).
+
+    Motivation (docs/DESIGN.md "Space-to-depth"): per-conv s2d routing
+    showed a real per-op win at the lane-underfilled C=64 512^2 level
+    (fwd 4.83 -> 4.15 ms) that was destroyed by two s2d<->logical
+    relayouts per conv (~1-2 ms each). This block amortizes boundaries
+    to the level granularity the r3 ablation prescribed:
+
+      entry:  pure reshape of the (N, H, W, 1) INPUT (C=1 — the cheap
+              side; the expensive C=64 relayout never happens)
+      convs:  s2d-resident (ops/s2d.py conv3x3_s2d_raw), full-lane MXU
+      BN:     phase-aggregated stats (TorchBatchNorm(phases=2)) —
+              bit-compatible parameter/stat tree with the logical path
+      skip:   one d2s for the decoder consumer (the only relayout)
+      pool:   free exit — column-pair pooling is an elementwise max
+              over the phase channel-halves (ops/s2d.py
+              max_pool_s2d_exit), already at logical W/2
+
+    Parameter tree is IDENTICAL to ``DoubleConv(name='inc')`` (conv1/
+    bn1/conv2/bn2, logical kernel + per-logical-channel BN shapes), so
+    checkpoints, the torch port, and the flag-off path interchange
+    freely. Opt-in via UNET_TPU_S2D_LEVEL=1 pending the end-to-end TPU
+    measurement (house rule). Ref semantics: unet/models/layers.py:16-61.
+    """
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        from unet_tpu.ops.s2d import (conv3x3_s2d_raw, d2s_w,
+                                      max_pool_s2d_exit, s2d_variant,
+                                      s2d_w)
+
+        variant = s2d_variant(train)
+        cin = x.shape[-1]
+        conv1 = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        use_bias=False, kernel_init=_TORCH_CONV_INIT,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name='conv1')
+        conv2 = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        use_bias=False, kernel_init=_TORCH_CONV_INIT,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name='conv2')
+        # declare the logical kernels (XLA DCEs the dummy calls), then
+        # apply them in s2d layout
+        conv1(jnp.zeros((1, 4, 4, cin), self.dtype))
+        conv2(jnp.zeros((1, 4, 4, self.out_channels), self.dtype))
+        k1 = conv1.variables['params']['kernel']
+        k2 = conv2.variables['params']['kernel']
+
+        h = s2d_w(x.astype(self.dtype))
+        h = conv3x3_s2d_raw(h, k1.astype(self.dtype), variant)
+        h = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, phases=2, name='bn1')(h)
+        h = nn.relu(h)
+        h = conv3x3_s2d_raw(h, k2.astype(self.dtype), variant)
+        h = TorchBatchNorm(use_running_average=not train,
+                           dtype=self.dtype, phases=2, name='bn2')(h)
+        h = nn.relu(h)
+        return d2s_w(h), max_pool_s2d_exit(h)
 
 
 class OutConv(nn.Module):

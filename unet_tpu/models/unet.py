@@ -26,10 +26,19 @@ from unet_tpu.models.layers import (
     AttentionUp,
     DoubleConv,
     Down,
+    IncPoolS2D,
     OutConv,
     Up,
 )
 from unet_tpu.ops.resize import resize_bilinear_align_corners
+
+
+def _use_s2d_level(x: jnp.ndarray) -> bool:
+    """Opt-in whole-level s2d encoder level 0 (see layers.IncPoolS2D);
+    needs even H and W for the phase split / pool exit."""
+    from unet_tpu.core.setup import env_flag
+    return (env_flag('UNET_TPU_S2D_LEVEL', False)
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
 
 
 class _ParamCount:
@@ -63,8 +72,13 @@ class UNet(_ParamCount, nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         f, dt = self.base_features, self.dtype
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(f, dtype=dt, name='inc')(x, train)
-        x2 = Down(f * 2, dtype=dt, name='down1')(x1, train)
+        if _use_s2d_level(x):
+            x1, x1p = IncPoolS2D(f, dtype=dt, name='inc')(x, train)
+            x2 = Down(f * 2, dtype=dt, name='down1')(x1p, train,
+                                                     pre_pooled=True)
+        else:
+            x1 = DoubleConv(f, dtype=dt, name='inc')(x, train)
+            x2 = Down(f * 2, dtype=dt, name='down1')(x1, train)
         x3 = Down(f * 4, dtype=dt, name='down2')(x2, train)
         x4 = Down(f * 8, dtype=dt, name='down3')(x3, train)
         x5 = Down(f * 16 // factor, dtype=dt, name='down4')(x4, train)
@@ -97,8 +111,13 @@ class AttentionUNet(_ParamCount, nn.Module):
         factor = 2 if self.bilinear else 1
         in_h, in_w = x.shape[1], x.shape[2]
 
-        x1 = DoubleConv(f, dtype=dt, name='inc')(x, train)
-        x2 = Down(f * 2, dtype=dt, name='down1')(x1, train)
+        if _use_s2d_level(x):
+            x1, x1p = IncPoolS2D(f, dtype=dt, name='inc')(x, train)
+            x2 = Down(f * 2, dtype=dt, name='down1')(x1p, train,
+                                                     pre_pooled=True)
+        else:
+            x1 = DoubleConv(f, dtype=dt, name='inc')(x, train)
+            x2 = Down(f * 2, dtype=dt, name='down1')(x1, train)
         x3 = Down(f * 4, dtype=dt, name='down2')(x2, train)
         x4 = Down(f * 8, dtype=dt, name='down3')(x3, train)
         x5 = Down(f * 16 // factor, dtype=dt, name='down4')(x4, train)

@@ -113,21 +113,20 @@ def s2d_variant(train: bool) -> str:
     return 'split' if train else 'dense'
 
 
-def conv3x3_s2d_w(x: jnp.ndarray, k: jnp.ndarray,
-                  variant: str = 'dense') -> jnp.ndarray:
-    """3x3/stride-1/SAME conv computed in width-s2d layout.
+def conv3x3_s2d_raw(xs: jnp.ndarray, k: jnp.ndarray,
+                    variant: str = 'dense') -> jnp.ndarray:
+    """3x3/stride-1/SAME conv, s2d layout in -> s2d layout out.
 
-    x: (N, H, W, C) with W even; k: (3, 3, C, Co) (any float dtype —
-    cast to x.dtype like flax nn.Conv). Returns (N, H, W, Co), equal to
-    ``lax.conv_general_dilated(x, k, (1,1), 'SAME')`` up to summation
-    order.
+    xs: (N, H, W/2, 2C) width-s2d input; k: the LOGICAL (3, 3, C, Co)
+    kernel. Returns (N, H, W/2, 2Co) with the s2d channel convention
+    (out-phase blocks [b=0 | b=1]). No boundary reshapes — this is the
+    building block for keeping an entire encoder level resident in s2d
+    layout (one relayout per level, not per conv).
     """
-    k = k.astype(x.dtype)
-    xs = s2d_w(x)
+    k = k.astype(xs.dtype)
     if variant == 'dense':
-        ys = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             xs, s2d_kernel_w(k), (1, 1), 'SAME', dimension_numbers=_DN)
-        return d2s_w(ys)
     if variant == 'split':
         c, co = k.shape[2], k.shape[3]
         ka = jnp.zeros((3, 2, 2 * c, co), k.dtype)   # out-phase b=0
@@ -144,5 +143,67 @@ def conv3x3_s2d_w(x: jnp.ndarray, k: jnp.ndarray,
             xs, ka, (1, 1), ((1, 1), (1, 0)), dimension_numbers=_DN)
         yb = jax.lax.conv_general_dilated(
             xs, kb, (1, 1), ((1, 1), (0, 1)), dimension_numbers=_DN)
-        return d2s_w(jnp.concatenate([ya, yb], axis=-1))
+        return jnp.concatenate([ya, yb], axis=-1)
     raise ValueError(f'unknown variant: {variant}')
+
+
+def conv3x3_s2d_w(x: jnp.ndarray, k: jnp.ndarray,
+                  variant: str = 'dense') -> jnp.ndarray:
+    """3x3/stride-1/SAME conv computed in width-s2d layout.
+
+    x: (N, H, W, C) with W even; k: (3, 3, C, Co) (any float dtype —
+    cast to x.dtype like flax nn.Conv). Returns (N, H, W, Co), equal to
+    ``lax.conv_general_dilated(x, k, (1,1), 'SAME')`` up to summation
+    order.
+    """
+    return d2s_w(conv3x3_s2d_raw(s2d_w(x), k, variant))
+
+
+def _s2d_pool_phases(xs: jnp.ndarray):
+    """The four 2x2-window elements of a logical max pool, viewed in s2d
+    layout: column phases are CHANNEL halves (lane-aligned slices — no
+    strided W gather), row phases are stride-2 H slices. Row-major
+    window order (matches ops/pool.py `_phases` and torch argmax ties):
+    (r, 2j) (r, 2j+1) (r+1, 2j) (r+1, 2j+1).
+    """
+    c = xs.shape[-1] // 2
+    return (xs[:, 0::2, :, :c], xs[:, 0::2, :, c:],
+            xs[:, 1::2, :, :c], xs[:, 1::2, :, c:])
+
+
+@jax.custom_vjp
+def max_pool_s2d_exit(xs: jnp.ndarray) -> jnp.ndarray:
+    """Logical 2x2/stride-2 max pool of an s2d-layout map, emitting the
+    LOGICAL pooled tensor: (N, H, W/2, 2C) -> (N, H/2, W/2, C).
+
+    The s2d exit is free here: pooling adjacent logical columns is an
+    elementwise max over the two phase channel-halves, and the result's
+    width is already W/2. H must be even. Tie gradients route to the
+    first maximal window element in row-major order (same rule as
+    select_and_scatter / ops/pool.py).
+    """
+    e00, e01, e10, e11 = _s2d_pool_phases(xs)
+    return jnp.maximum(jnp.maximum(e00, e01), jnp.maximum(e10, e11))
+
+
+def _mps_fwd(xs):
+    y = max_pool_s2d_exit(xs)
+    return y, (xs, y)
+
+
+def _mps_bwd(res, g):
+    xs, y = res
+    e00, e01, e10, e11 = _s2d_pool_phases(xs)
+    m00 = e00 == y
+    m01 = (e01 == y) & ~m00
+    m10 = (e10 == y) & ~m00 & ~m01
+    m11 = (e11 == y) & ~m00 & ~m01 & ~m10
+    z = g.dtype.type(0)
+    r0 = jnp.concatenate([jnp.where(m00, g, z), jnp.where(m01, g, z)], -1)
+    r1 = jnp.concatenate([jnp.where(m10, g, z), jnp.where(m11, g, z)], -1)
+    n, h2, w2, c2 = r0.shape
+    dxs = jnp.stack([r0, r1], axis=2).reshape(n, 2 * h2, w2, c2)
+    return (dxs,)
+
+
+max_pool_s2d_exit.defvjp(_mps_fwd, _mps_bwd)
