@@ -20,8 +20,11 @@ run() {  # run <name> <timeout_s> <cmd...>
 # 1. Baseline bench (train, train-aug, infer details on stderr)
 run bench_base 2700 python bench.py
 
-# 2. Pallas banded warp ablation (changes the train-aug figure)
+# 2. Pallas banded warp ablation (changes the train-aug figure),
+#    plus the kernel-level aug breakdown on both paths
 UNET_TPU_PALLAS_WARP=1 run bench_warp 2700 python bench.py
+run aug_xla 1800 python benchmarks/aug_bench.py
+UNET_TPU_PALLAS_WARP=1 run aug_pallas 1800 python benchmarks/aug_bench.py
 
 # 3. Whole-level s2d ablation (changes train + infer figures)
 UNET_TPU_S2D_LEVEL=1 run bench_s2d 2700 python bench.py
