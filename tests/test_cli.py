@@ -61,6 +61,9 @@ def test_train_cli_end_to_end(tmp_path):
     assert history['train_loss'][1] < history['train_loss'][0] * 1.5
     run = tmp_path / 'runs' / 'test'
     assert (run / 'training_curves.png').exists()
+    import json
+    hist = json.loads((run / 'history.json').read_text())
+    assert len(hist['train_loss']) == len(hist['tumor_dice']) > 0
     assert (run / 'weights' / 'last' / 'meta.json').exists()
     meta = json.loads((run / 'weights' / 'last' / 'meta.json').read_text())
     assert meta['epoch'] == 1
@@ -281,6 +284,9 @@ def test_predict_cli_end_to_end(tmp_path):
     for i in range(3):
         Image.fromarray((rng.random((48, 48)) * 255).astype(np.uint8)
                         ).save(src / f'im_{i}.png')
+    # a corrupt file must be skipped per-image, not abort the run
+    # (ref predict.py:311-313)
+    (src / 'im_bad.png').write_bytes(b'\x89PNG\r\n\x1a\nnot a real png')
 
     out = tmp_path / 'preds'
     argv = ['predict', '--weights', str(weights), '--source', str(src),
@@ -296,6 +302,7 @@ def test_predict_cli_end_to_end(tmp_path):
     sweeps = sorted(out.glob('*_mask_t0.7.png'))
     overlays = sorted(out.glob('*_overlay.png'))
     assert len(masks) == 3 and len(overlays) == 3 and len(sweeps) == 3
+    assert not (out / 'im_bad_mask.png').exists()
     m = np.asarray(Image.open(masks[0]))
     assert m.shape == (48, 48)  # restored to original size
     assert set(np.unique(m)) <= {0, 255}

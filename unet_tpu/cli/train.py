@@ -629,6 +629,12 @@ def main():
     if not is_main:
         return history
     plot_training_curves(history, save_path=save_dir / 'training_curves.png')
+    # machine-readable epoch history next to the curves (the reference
+    # keeps history only inside the PNG, train.py:531-532)
+    import json
+    (save_dir / 'history.json').write_text(
+        json.dumps({k: [float(v) for v in vs] for k, vs in history.items()},
+                   indent=1))
 
     # ---- reload best + visualize tumor-containing val samples
     # (ref train.py:531-577). Runs on process 0 only, so the apply below
