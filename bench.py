@@ -69,10 +69,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def emit(value, vs_baseline, error=None):
-    """The one stdout JSON line. Never raises."""
+def emit(value, vs_baseline, error=None, aug_on=None):
+    """The one stdout JSON line. Never raises. ``aug_on`` carries the
+    end-to-end augmentation-on figure IN the record so the headline
+    number can never silently exclude the input pipeline."""
     rec = {'metric': METRIC, 'value': value, 'unit': 'slices/s',
            'vs_baseline': vs_baseline}
+    if aug_on is not None:
+        rec['aug_on_value'] = aug_on
     if error:
         rec['error'] = error
     print(json.dumps(rec), flush=True)
@@ -299,7 +303,8 @@ def worker():
             train_sps / MEASURED_REF_CPU_SLICES_PER_SEC, 1),
     }))
     emit(round(train_sps, 2),
-         round(train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2))
+         round(train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2),
+         aug_on=round(aug_sps, 2))
 
 
 # --------------------------------------------------------------------
