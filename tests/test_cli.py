@@ -377,7 +377,20 @@ def test_predict_cli_multidevice_sharding(tmp_path):
     # control batch size must NOT divide the device count, or the
     # control itself takes the mesh path and the comparison is vacuous
     run(tmp_path / 'single', len(jax.devices()) + 1)
+    # spatial partitioning: shard image HEIGHT instead of the batch
+    # (--spatial-shard; core/mesh.py::spatial_sharding)
+    argv = ['predict', '--weights', str(weights), '--source', str(src),
+            '--output', str(tmp_path / 'spatial'), '--img-size', '32',
+            '--batch-size', '2', '--spatial-shard']
+    old = sys.argv
+    sys.argv = argv
+    try:
+        predict_main()
+    finally:
+        sys.argv = old
     for i in range(10):
         a = np.asarray(Image.open(tmp_path / 'sharded' / f'im_{i}_mask.png'))
         b = np.asarray(Image.open(tmp_path / 'single' / f'im_{i}_mask.png'))
         np.testing.assert_array_equal(a, b)
+        c = np.asarray(Image.open(tmp_path / 'spatial' / f'im_{i}_mask.png'))
+        np.testing.assert_array_equal(c, b)

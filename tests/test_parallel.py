@@ -89,6 +89,33 @@ def test_sharded_eval_confusion_matrix_is_global(rng):
     assert np.asarray(cm8).sum() == masks[0].size
 
 
+def test_spatial_sharding_matches_unsharded(rng):
+    """H-axis (spatial) partitioning for huge-slice inference
+    (core/mesh.py::spatial_sharding): GSPMD must insert the conv halo
+    exchanges and reproduce the unsharded prediction. Uses the
+    AttentionUNet so the gates' resizes cross the sharded axis too."""
+    from unet_tpu.core.mesh import spatial_sharding
+    from unet_tpu.models import AttentionUNet
+    from unet_tpu.train import make_predict_step
+
+    model = AttentionUNet(base_features=4)
+    tx = create_optimizer(1e-3)
+    hw = 32  # H shards to 4 rows/device at 8 devices
+    state = init_train_state(model, jax.random.key(1),
+                             jnp.zeros((1, hw, hw, 1)), tx)
+    predict = jax.jit(make_predict_step(model))
+    x = rng.standard_normal((1, hw, hw, 1), dtype=np.float32)
+
+    want = np.asarray(predict(state.params, state.batch_stats,
+                              jnp.asarray(x)))
+
+    mesh = create_mesh(jax.devices()[:8])
+    state8 = replicate(mesh, state)
+    xs = jax.device_put(x, spatial_sharding(mesh, h_axis=1))
+    got = np.asarray(predict(state8.params, state8.batch_stats, xs))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_driver_dryrun_multichip():
     import sys
     from pathlib import Path

@@ -42,6 +42,11 @@ def parse_args():
                         '(e.g. 0.3,0.5,0.7) sweeps thresholds and saves '
                         'masks for each')
     p.add_argument('--device', type=str, default=None)
+    p.add_argument('--spatial-shard', action='store_true',
+                   help='shard the image HEIGHT across devices instead '
+                        'of the batch (XLA SPMD spatial partitioning; '
+                        'for very large --img-size or batch sizes below '
+                        'the device count)')
     p.add_argument('--save-overlay', action='store_true')
     p.add_argument('--no-save-mask', action='store_true')
     p.add_argument('--batch-size', type=int, default=8,
@@ -216,7 +221,18 @@ def main():
     # (the reference serves on one GPU, batch 1; ref predict.py:284-309)
     devices = jax.devices()
     data_sh = None
-    if len(devices) > 1 and bs % len(devices) == 0:
+    if len(devices) > 1 and args.spatial_shard:
+        # spatial partitioning: shard image HEIGHT, replicate the batch
+        # (core/mesh.py::spatial_sharding; GSPMD inserts the conv halo
+        # exchanges — results match the unsharded forward,
+        # tests/test_parallel.py)
+        from unet_tpu.core.mesh import (create_mesh, replicate,
+                                        spatial_sharding)
+        mesh = create_mesh(devices, data_parallel=len(devices))
+        data_sh = spatial_sharding(mesh, h_axis=1)
+        variables = replicate(mesh, variables)
+        print(f'Sharding image height over {len(devices)} devices')
+    elif len(devices) > 1 and bs % len(devices) == 0:
         from unet_tpu.core.mesh import (batch_sharding, create_mesh,
                                         replicate)
         mesh = create_mesh(devices, data_parallel=len(devices))

@@ -48,6 +48,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, h_axis: int = 1) -> NamedSharding:
+    """Shard the HEIGHT axis of an NHWC batch across the data axis —
+    XLA SPMD spatial partitioning (SURVEY.md §5 "long-context" analogue:
+    in this domain scaling 'length' means higher slice resolution).
+
+    Use when one slice is too large for a chip (whole-slide inference,
+    big CT volumes at native resolution) or batch < n_devices: GSPMD
+    partitions every conv spatially and inserts halo exchanges for the
+    3x3 windows automatically; results are bit-compatible with the
+    unsharded computation (tests/test_parallel.py proves it on the
+    virtual 8-device mesh)."""
+    spec = [None] * (h_axis + 1)
+    spec[h_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_batch(mesh: Mesh, tree: Any, batch_axis: int = 0) -> Any:
     """Place a host batch onto the mesh, sharded along ``batch_axis``.
 
