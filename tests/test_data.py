@@ -287,13 +287,18 @@ def test_batchloader_bounded_in_flight():
     cap = (loader.max_in_flight + 1) * bs
     assert ds.loads <= cap, (ds.loads, cap)
     list(it)  # drain
-    # order and content are unchanged by the bounded pipeline
+    # order and content are unchanged by the bounded pipeline;
+    # num_threads=0 means synchronous loading (torch DataLoader
+    # num_workers=0 semantics — a config of workers: 0 must not crash)
     plain = list(BatchLoader(ds, bs, raw_uint8=True, num_threads=1))
     got = list(BatchLoader(ds, bs, raw_uint8=True, num_threads=4))
-    assert len(got) == len(plain)
-    for (ia, ma), (ib, mb) in zip(got, plain):
+    sync = list(BatchLoader(ds, bs, raw_uint8=True, num_threads=0))
+    assert len(got) == len(plain) == len(sync)
+    for (ia, ma), (ib, mb), (ic, mc) in zip(got, plain, sync):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(ic, ib)
+        np.testing.assert_array_equal(mc, mb)
 
 
 def test_batchloader_raw_uint8(rng):
