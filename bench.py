@@ -272,6 +272,7 @@ def worker():
         return sps
 
     train_sps, ms_step, infer_sps, aug_sps = 0.0, 0.0, 0.0, 0.0
+    infer_best_batch = 0
     for batch in (8, 4, 2):
         try:
             train_sps, ms_step = bench_train(batch)
@@ -283,10 +284,17 @@ def worker():
         aug_sps = bench_train_aug(8)
     except Exception as e:
         log(f'train-aug bench failed: {type(e).__name__}: {str(e)[:120]}')
-    try:
-        infer_sps = bench_infer(8)
-    except Exception as e:
-        log(f'infer bench failed: {type(e).__name__}: {str(e)[:120]}')
+    # inference batch sweep: eval memory is cheap, so larger batches may
+    # amortize per-step overhead past the b8 figure the CLI defaults to
+    for batch in (8, 16, 32):
+        try:
+            sps = bench_infer(batch)
+        except Exception as e:
+            log(f'infer batch {batch} failed: {type(e).__name__}: '
+                f'{str(e)[:120]}')
+            break
+        if sps > infer_sps:
+            infer_sps, infer_best_batch = sps, batch
 
     # full detail record on stderr (absolute numbers that stand on their
     # own regardless of baseline-estimate error; schema-stable for
@@ -297,6 +305,7 @@ def worker():
         'ms_per_step': round(ms_step, 1),
         'train_tflops': round(train_sps * TRAIN_GFLOP_PER_SLICE / 1e3, 1),
         'infer_slices_per_sec': round(infer_sps, 2),
+        'infer_best_batch': infer_best_batch,
         'vs_gpu_estimate': round(
             train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2),
         'vs_measured_cpu_anchor': round(
