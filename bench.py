@@ -315,6 +315,28 @@ def worker():
          round(train_sps / EST_REF_TRAIN_SLICES_PER_SEC, 2),
          aug_on=round(aug_sps, 2))
 
+    # AFTER the metric line is already on stdout (the parent relays the
+    # last parseable line, so nothing below can lose it): attempt the
+    # Pallas banded-warp ablation. A Mosaic rejection just logs; a
+    # kernel fault can wedge the remote worker, which is why this runs
+    # dead last. Skipped when the flag is already set (the ablation run
+    # in benchmarks/r4_measure.sh measured it above).
+    if (os.environ.get('UNET_TPU_PALLAS_WARP') != '1'
+            and jax.default_backend() == 'tpu'):
+        try:
+            os.environ['UNET_TPU_PALLAS_WARP'] = '1'
+            if hasattr(augment_batch, 'clear_cache'):
+                augment_batch.clear_cache()  # re-trace under the flag
+                aug_warp = bench_train_aug(8)
+                log(json.dumps({'train_aug_warp_slices_per_sec':
+                                round(aug_warp, 2)}))
+            else:
+                log('warp ablation skipped: augment_batch has no '
+                    'clear_cache on this jax')
+        except Exception as e:
+            log(f'warp-aug ablation failed: {type(e).__name__}: '
+                f'{str(e)[:160]}')
+
 
 # --------------------------------------------------------------------
 # Parent: probe + supervise
