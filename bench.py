@@ -317,10 +317,26 @@ def worker():
 
     # AFTER the metric line is already on stdout (the parent relays the
     # last parseable line, so nothing below can lose it): attempt the
-    # Pallas banded-warp ablation. A Mosaic rejection just logs; a
-    # kernel fault can wedge the remote worker, which is why this runs
-    # dead last. Skipped when the flag is already set (the ablation run
-    # in benchmarks/r4_measure.sh measured it above).
+    # r4 ablations so a driver-only TPU window still captures them.
+    # 1) whole-level s2d train step (pure XLA; env read at trace time,
+    #    and bench_train re-traces its chain on every call)
+    if (os.environ.get('UNET_TPU_S2D_LEVEL') != '1'
+            and jax.default_backend() == 'tpu' and train_sps > 0):
+        try:
+            os.environ['UNET_TPU_S2D_LEVEL'] = '1'
+            s2d_sps, s2d_ms = bench_train(8)
+            log(json.dumps({'train_s2d_level_slices_per_sec':
+                            round(s2d_sps, 2),
+                            'ms_per_step_s2d_level': round(s2d_ms, 1)}))
+        except Exception as e:
+            log(f's2d-level ablation failed: {type(e).__name__}: '
+                f'{str(e)[:160]}')
+        finally:
+            del os.environ['UNET_TPU_S2D_LEVEL']
+    # 2) Pallas banded-warp aug. A Mosaic rejection just logs; a kernel
+    #    fault can wedge the remote worker, which is why this runs dead
+    #    last. Skipped when the flag is already set (the ablation run in
+    #    benchmarks/r4_measure.sh measured it above).
     if (os.environ.get('UNET_TPU_PALLAS_WARP') != '1'
             and jax.default_backend() == 'tpu'):
         try:
