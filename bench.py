@@ -366,25 +366,34 @@ def main():
         emit(0, 0, error='tpu-unavailable')
         return
     cmd = [sys.executable, os.path.abspath(__file__), '--worker']
+
+    def relay_metric_line(stdout_bytes) -> bool:
+        """Print the LAST stdout line that parses as the metric record."""
+        text = (stdout_bytes or b'').decode(errors='replace')
+        for line in reversed(text.splitlines()):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and rec.get('metric') == METRIC:
+                print(line, flush=True)
+                return True
+        return False
+
     try:
         proc = subprocess.run(cmd, stdout=subprocess.PIPE,
                               timeout=CHILD_TIMEOUT)
-    except subprocess.TimeoutExpired:
-        emit(0, 0, error=f'bench-timeout-{int(CHILD_TIMEOUT)}s')
+    except subprocess.TimeoutExpired as e:
+        # the metric line may already be out (the post-metric ablation
+        # attempts are allowed to be slow/hung) — salvage it
+        if not relay_metric_line(e.stdout):
+            emit(0, 0, error=f'bench-timeout-{int(CHILD_TIMEOUT)}s')
         return
     except Exception as e:  # spawn failure
         emit(0, 0, error=f'bench-spawn-{type(e).__name__}')
         return
-    # Relay the LAST stdout line that parses as the metric record.
-    for line in reversed(proc.stdout.decode(errors='replace').splitlines()):
-        try:
-            rec = json.loads(line)
-        except ValueError:
-            continue
-        if isinstance(rec, dict) and rec.get('metric') == METRIC:
-            print(line, flush=True)
-            return
-    emit(0, 0, error=f'bench-crashed-rc{proc.returncode}')
+    if not relay_metric_line(proc.stdout):
+        emit(0, 0, error=f'bench-crashed-rc{proc.returncode}')
 
 
 if __name__ == '__main__':
