@@ -29,6 +29,11 @@ UNET_TPU_PALLAS_WARP=1 run aug_pallas 1800 python benchmarks/aug_bench.py
 # 3. Whole-level s2d ablation (changes train + infer figures)
 UNET_TPU_S2D_LEVEL=1 run bench_s2d 2700 python bench.py
 
+# 3b. Combined ablation — the configuration that would ship if both
+#     opt-ins win individually (interactions are possible: both change
+#     the level-0/512^2 memory traffic pattern)
+UNET_TPU_PALLAS_WARP=1 UNET_TPU_S2D_LEVEL=1 run bench_both 2700 python bench.py
+
 # 4. Predict end-to-end: 512 images at 512^2 through the real CLI
 #    (pipelined decode || compute || save, data-parallel batching)
 if [ ! -f "$OUT/imgs/images/.done" ]; then

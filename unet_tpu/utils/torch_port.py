@@ -179,7 +179,7 @@ def convert_torch_state_dict(state_dict: Mapping[str, Any],
         for path, template in flat.items():
             *mods, leaf = path
             prefix = _torch_prefix(tuple(mods))
-            is_tr = mods[-1] == 'up'
+            is_tr = bool(mods) and mods[-1] == 'up'
             arr = _leaf_to_torch(prefix, leaf, is_tr, state_dict)
             if arr.shape != tuple(template.shape):
                 raise ValueError(
