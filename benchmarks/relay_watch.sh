@@ -18,6 +18,13 @@ while true; do
     sleep 30            # let a just-restarted relay finish initialising
     if probe; then
       date -u +%FT%TZ > /tmp/relay_up.marker
+      # long CPU evidence jobs register their PID here; stop them so the
+      # measurement's host-side timings (decode/save pipeline) are clean
+      if [ -f /tmp/r4_cpu_job.pid ]; then
+        kill "$(cat /tmp/r4_cpu_job.pid)" 2>/dev/null
+        rm -f /tmp/r4_cpu_job.pid
+        sleep 5
+      fi
       bash benchmarks/r4_measure.sh "$OUT" > /tmp/r4_measure_run.log 2>&1
       date -u +%FT%TZ > /tmp/r4_measure_done.marker
       exit 0

@@ -38,6 +38,7 @@ setup(
             'unet-predict=unet_tpu.cli.predict:main',
             'unet-overfit-test=unet_tpu.cli.overfit:main',
             'unet-export-torch=unet_tpu.cli.export_torch:main',
+            'unet-serve=unet_tpu.cli.serve:main',
         ],
     },
 )

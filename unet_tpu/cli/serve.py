@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Batched segmentation inference server (the production-serving tier).
+
+The reference ships no serving path beyond the batch-1 sequential
+predict script (ref scripts/predict.py:284-309 — load, loop, save).
+This is the TPU-native serving design instead:
+
+- ONE fixed-shape compiled program: requests are padded into a
+  ``(max_batch, img, img, 1)`` batch so the server runs a single jitted
+  predict step forever (no shape-driven recompiles, XLA-friendly).
+- micro-batching: concurrent requests that arrive within
+  ``--batch-window-ms`` of each other share one device dispatch — the
+  MXU sees real batches even when clients send one image at a time.
+- softmax on device; per-request thresholding + original-size NEAREST
+  restore on host (same contract as the predict CLI / ref
+  predict.py:138-165).
+
+Stdlib-only HTTP (http.server) so it runs wherever the CLIs run.
+
+API:
+  GET  /healthz            -> 200 JSON {status, epoch, img_size, ...}
+  POST /predict            -> body: PNG/JPEG bytes; response: PNG mask
+                              (uint8 {0,255}, original size) with
+                              X-Tumor-Coverage / X-Tumor-Pixels headers
+  POST /predict?format=json-> JSON {tumor_pixels, coverage, width,
+                              height} (no mask payload)
+  optional query threshold=0.x overrides the server default per request
+"""
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='Serve tumor segmentation')
+    p.add_argument('--weights', type=str, required=True,
+                   help='checkpoint dir (runs/exp/weights/best) or a '
+                        'reference torch .pt file')
+    p.add_argument('--host', type=str, default='127.0.0.1')
+    p.add_argument('--port', type=int, default=8500)
+    p.add_argument('--img-size', type=int, default=512,
+                   help='network input size (use the training size!)')
+    p.add_argument('--threshold', type=float, default=0.5)
+    p.add_argument('--max-batch', type=int, default=8,
+                   help='compiled batch size; requests arriving together '
+                        'share one device dispatch up to this many')
+    p.add_argument('--batch-window-ms', type=float, default=5.0,
+                   help='how long the batcher waits for co-travellers '
+                        'after the first request of a batch')
+    p.add_argument('--device', type=str, default=None)
+    return p.parse_args(argv)
+
+
+class MicroBatcher:
+    """Collects concurrent requests into fixed-shape device batches.
+
+    ``submit`` blocks the calling (HTTP handler) thread until its
+    result is ready; a single worker thread drains the queue, waits up
+    to ``window_s`` for co-travellers (up to ``max_batch``), pads the
+    batch to the compiled shape, runs ``predict_fn`` once, and fans the
+    per-row tumor-probability maps back out."""
+
+    def __init__(self, predict_fn, max_batch: int, window_s: float):
+        self._predict = predict_fn
+        self._max_batch = max(1, int(max_batch))
+        self._window = max(0.0, float(window_s))
+        self._q = queue.Queue()
+        self._stopping = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, x: np.ndarray, timeout: float = 60.0) -> np.ndarray:
+        """x: (H, W, 1) f32 normalized input. Returns (H, W) f32 tumor
+        probabilities. Raises on worker failure or timeout."""
+        ev = threading.Event()
+        slot = {'ev': ev, 'x': x}
+        self._q.put(slot)
+        if not ev.wait(timeout):
+            slot['dead'] = True  # worker discards late results
+            raise TimeoutError('prediction timed out')
+        if 'err' in slot:
+            raise slot['err']
+        return slot['out']
+        # (slot populated by _run; no other thread touches it afterwards)
+
+    def close(self):
+        self._stopping.set()
+        self._q.put(None)  # unblock the worker
+        self._worker.join(timeout=5.0)
+
+    # -- worker side ---------------------------------------------------
+
+    def _collect(self):
+        """One batch: block for the first request, then gather
+        co-travellers inside the window."""
+        first = self._q.get()
+        if first is None:
+            return None
+        slots = [first]
+        deadline = time.monotonic() + self._window
+        while len(slots) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            slots.append(item)
+        return slots
+
+    def _run(self):
+        while not self._stopping.is_set():
+            slots = self._collect()
+            if not slots:
+                continue
+            try:
+                xs = [s['x'] for s in slots]
+                n = len(xs)
+                while len(xs) < self._max_batch:  # pad to compiled shape
+                    xs.append(xs[-1])
+                probs = np.asarray(self._predict(np.stack(xs)))
+                for i, s in enumerate(slots):
+                    if not s.get('dead'):
+                        s['out'] = probs[i]
+            except BaseException as e:
+                for s in slots:
+                    if not s.get('dead'):
+                        s['err'] = e
+            for s in slots:
+                s.pop('x', None)
+                s['ev'].set()
+            del slots
+
+
+def _make_handler(batcher: MicroBatcher, img_size: int,
+                  default_threshold: float, health: dict):
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = 'HTTP/1.1'
+
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _send(self, code, body: bytes, ctype='application/json',
+                  headers=()):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code, obj, headers=()):
+            self._send(code, json.dumps(obj).encode(), headers=headers)
+
+        def do_GET(self):
+            if urlparse(self.path).path == '/healthz':
+                self._send_json(200, health)
+            else:
+                self._send_json(404, {'error': 'not found'})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != '/predict':
+                self._send_json(404, {'error': 'not found'})
+                return
+            q = parse_qs(url.query)
+            try:
+                thr = float(q.get('threshold', [default_threshold])[0])
+            except ValueError:
+                self._send_json(400, {'error': 'bad threshold'})
+                return
+            length = int(self.headers.get('Content-Length') or 0)
+            if length <= 0:
+                self._send_json(400, {'error': 'empty body'})
+                return
+            raw = self.rfile.read(length)
+            try:
+                img = Image.open(io.BytesIO(raw)).convert('L')
+            except Exception as e:
+                self._send_json(400, {'error': f'undecodable image: {e}'})
+                return
+            orig_size = img.size  # (W, H)
+            if img.size != (img_size, img_size):
+                img = img.resize((img_size, img_size), Image.BILINEAR)
+            x = np.asarray(img, np.float32) / 255.0
+            x = ((x - 0.5) / 0.5)[..., None]  # ref predict.py:100-135
+            try:
+                prob = batcher.submit(x)
+            except Exception as e:
+                self._send_json(500, {'error': f'{type(e).__name__}: {e}'})
+                return
+            mask = (prob > thr).astype(np.uint8) * 255
+            m = Image.fromarray(mask)
+            if m.size != orig_size:  # NEAREST restore (ref predict.py:163)
+                m = m.resize(orig_size, Image.NEAREST)
+            arr = np.asarray(m)
+            tumor_px = int((arr > 127).sum())
+            coverage = tumor_px / arr.size
+            if q.get('format', ['png'])[0] == 'json':
+                self._send_json(200, {
+                    'tumor_pixels': tumor_px,
+                    'coverage': coverage,
+                    'width': int(orig_size[0]),
+                    'height': int(orig_size[1]),
+                    'threshold': thr,
+                })
+                return
+            buf = io.BytesIO()
+            m.save(buf, format='PNG')
+            self._send(200, buf.getvalue(), ctype='image/png',
+                       headers=(('X-Tumor-Pixels', str(tumor_px)),
+                                ('X-Tumor-Coverage', f'{coverage:.6f}')))
+
+    return Handler
+
+
+def create_server(weights, img_size=512, threshold=0.5, max_batch=8,
+                  batch_window_ms=5.0, host='127.0.0.1', port=8500):
+    """Build the (server, batcher) pair with the model loaded and the
+    fixed-shape predict program compiled (warm before the first
+    request). Separated from main() so tests can run it on port 0."""
+    import jax
+    from unet_tpu.cli.predict import load_model
+    from unet_tpu.train.trainer import make_predict_step
+
+    model, variables, meta = load_model(weights)
+    predict_step = jax.jit(make_predict_step(model))
+    params, stats = variables['params'], variables['batch_stats']
+
+    def predict(batch_np: np.ndarray) -> np.ndarray:
+        probs = predict_step(params, stats, batch_np)
+        return np.asarray(probs[..., 1])  # tumor channel
+
+    # compile once, up front: the serving path never pays jit latency
+    predict(np.zeros((max_batch, img_size, img_size, 1), np.float32))
+
+    batcher = MicroBatcher(predict, max_batch, batch_window_ms / 1e3)
+    health = {
+        'status': 'ok',
+        'weights': str(weights),
+        'epoch': meta.get('epoch'),
+        'img_size': img_size,
+        'max_batch': max_batch,
+        'backend': jax.default_backend(),
+    }
+    handler = _make_handler(batcher, img_size, threshold, health)
+    server = ThreadingHTTPServer((host, port), handler)
+    return server, batcher
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    if (args.device or '').lower() == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+
+    print(f'Loading {args.weights} (compiling batch={args.max_batch} '
+          f'@ {args.img_size}px)...')
+    server, batcher = create_server(
+        args.weights, img_size=args.img_size, threshold=args.threshold,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        host=args.host, port=args.port)
+    print(f'Serving on http://{args.host}:{server.server_address[1]} '
+          f'(POST /predict, GET /healthz)')
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+        server.server_close()
+
+
+if __name__ == '__main__':
+    main()
