@@ -70,6 +70,20 @@ def test_train_cli_end_to_end(tmp_path):
     assert meta['config']['model']['type'] == 'unet'
 
 
+def test_train_cli_transposed_conv_variant(tmp_path):
+    """The bilinear=False (ConvTranspose2d upsampling, ref
+    layers.py:84-89) model family trains end-to-end through the full
+    CLI — the one variant axis the quality runs don't cover."""
+    cfg = _write_config(tmp_path, model={'bilinear': False,
+                                         'type': 'attention_unet'})
+    history = _run_train(cfg)
+    assert len(history['train_loss']) == 2
+    assert np.isfinite(history['train_loss']).all()
+    meta = json.loads((tmp_path / 'runs' / 'test' / 'weights' / 'last'
+                       / 'meta.json').read_text())
+    assert meta['config']['model']['bilinear'] is False
+
+
 def test_train_resume_invariance(tmp_path):
     """Resume must restore the complete TrainState: the optimizer-step
     counter continues exactly, and two resumes from the same checkpoint
