@@ -69,4 +69,11 @@ run predict_512 2700 python scripts/predict.py \
     --weights "$OUT/ckpt_run/weights/last" --source "$OUT/imgs/images" \
     --output "$OUT/preds" --img-size 512 --batch-size 8
 
+# 5. Serving tier: concurrent batch-1 HTTP clients through unet-serve
+#    (micro-batching should aggregate them into near-max-batch device
+#    dispatches; number includes HTTP + PNG decode + batching latency)
+run serve_512 1800 python benchmarks/serve_bench.py \
+    --weights "$OUT/ckpt_run/weights/last" --img-size 512 \
+    --clients 16 --requests 256 --max-batch 8
+
 echo "=== DONE; summary:"; cat "$OUT/summary.log"
