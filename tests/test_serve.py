@@ -202,6 +202,33 @@ def test_serve_bad_requests(server_url):
     assert _request(addr, 'POST', '/nope', body=b'x')[0] == 404
 
 
+def test_serve_keepalive_and_error_recovery(server_url):
+    """One persistent connection: two good requests back-to-back
+    (HTTP/1.1 keep-alive), then a 4xx mid-stream — error responses
+    close the connection (unread body bytes must not corrupt the
+    stream) and the client transparently reconnects."""
+    addr, _ = server_url
+    host, port = addr.split(':')
+    body = _png_bytes(np.zeros((8, 8), np.uint8))
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    for _ in range(2):  # same socket, two requests
+        conn.request('POST', '/predict?format=json', body=body)
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
+    conn.request('POST', '/predict?threshold=abc', body=body)
+    r = conn.getresponse()
+    assert r.status == 400
+    assert r.getheader('Connection') == 'close'
+    r.read()
+    # http.client reconnects a closed keep-alive connection on demand
+    conn.request('POST', '/predict?format=json', body=body)
+    r = conn.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())['width'] == 8
+    conn.close()
+
+
 def test_serve_concurrent_requests(server_url):
     """Concurrent clients all get correct independent answers while the
     batcher multiplexes them through one compiled program."""

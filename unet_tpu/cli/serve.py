@@ -158,6 +158,11 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
             self.send_response(code)
             self.send_header('Content-Type', ctype)
             self.send_header('Content-Length', str(len(body)))
+            if code >= 400:
+                # error paths may leave request-body bytes unread; a
+                # keep-alive client would misparse the stream, so close
+                self.close_connection = True
+                self.send_header('Connection', 'close')
             for k, v in headers:
                 self.send_header(k, v)
             self.end_headers()
@@ -178,16 +183,19 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                 self._send_json(404, {'error': 'not found'})
                 return
             q = parse_qs(url.query)
+            length = int(self.headers.get('Content-Length') or 0)
+            if length <= 0:
+                self._send_json(400, {'error': 'empty body'})
+                return
+            if length > 64 << 20:
+                self._send_json(413, {'error': 'body too large'})
+                return
+            raw = self.rfile.read(length)  # drain BEFORE any 4xx reply
             try:
                 thr = float(q.get('threshold', [default_threshold])[0])
             except ValueError:
                 self._send_json(400, {'error': 'bad threshold'})
                 return
-            length = int(self.headers.get('Content-Length') or 0)
-            if length <= 0:
-                self._send_json(400, {'error': 'empty body'})
-                return
-            raw = self.rfile.read(length)
             try:
                 img = Image.open(io.BytesIO(raw)).convert('L')
             except Exception as e:
