@@ -154,7 +154,7 @@ def test_serve_predict_png_matches_direct_inference(server_url):
     import jax
     from unet_tpu.cli.predict import (load_model, postprocess_mask,
                                       preprocess_image)
-    from unet_tpu.train.trainer import make_predict_step
+    from unet_tpu.train.trainer import make_predict_step_u8
 
     addr, weights = server_url
     rng = np.random.default_rng(3)
@@ -172,7 +172,7 @@ def test_serve_predict_png_matches_direct_inference(server_url):
     src = io.BytesIO(_png_bytes(arr))
     x, orig = preprocess_image(src, IMG)
     model, variables, _ = load_model(weights)
-    prob = jax.jit(make_predict_step(model))(
+    prob = jax.jit(make_predict_step_u8(model))(
         variables['params'], variables['batch_stats'], x[None])
     want = postprocess_mask(np.asarray(prob[0, ..., 1]), 0.5, orig)
     np.testing.assert_array_equal(got, want)

@@ -182,3 +182,27 @@ def test_lr_injection_changes_updates(rng):
     d_big = jnp.linalg.norm(s_big.params['inc']['conv1']['kernel']
                             - state.params['inc']['conv1']['kernel'])
     assert float(d_big) > float(d_small) * 10
+
+
+def test_predict_step_u8_matches_host_normalize(rng):
+    """The uint8-wire predict step (normalize-on-device) matches
+    host-normalized f32 inputs to float precision: u8->f32 is exact and
+    the device runs the same (x/255 - 0.5)/0.5 ops (ref
+    predict.py:100-135) — except XLA compiles /255.0 as a
+    reciprocal-multiply, so normalized inputs differ by <=1 ULP
+    (measured 1.19e-7 max); the probabilities must stay within a few
+    ULP and the thresholded masks identical."""
+    from unet_tpu.train.trainer import make_predict_step, make_predict_step_u8
+
+    model = UNet(base_features=4)
+    state = init_train_state(model, jax.random.key(0),
+                             jnp.zeros((1, 16, 16, 1)),
+                             create_optimizer(lr=1e-3, weight_decay=0.0))
+    u8 = rng.integers(0, 256, (3, 16, 16, 1)).astype(np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    p_f32 = np.asarray(jax.jit(make_predict_step(model))(
+        state.params, state.batch_stats, f32))
+    p_u8 = np.asarray(jax.jit(make_predict_step_u8(model))(
+        state.params, state.batch_stats, u8))
+    np.testing.assert_allclose(p_f32, p_u8, atol=1e-5, rtol=0)
+    np.testing.assert_array_equal(p_f32[..., 1] > 0.5, p_u8[..., 1] > 0.5)

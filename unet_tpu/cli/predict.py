@@ -103,16 +103,18 @@ def load_model(weights_dir, dtype=None):
 
 
 def preprocess_image(path, img_size):
-    """PIL 'L' -> bilinear resize -> [0,1] -> (x-0.5)/0.5
-    (ref predict.py:100-135). Returns (array (H,W,1) f32, original size)."""
+    """PIL 'L' -> bilinear resize (ref predict.py:100-135). Returns
+    (array (H,W,1) uint8, original size). The reference's /255 +
+    (x-0.5)/0.5 normalization happens ON DEVICE
+    (trainer.make_predict_step_u8) so the host->HBM wire ships raw
+    bytes — 4x less transfer, network inputs within 1 ULP (u8->f32 is
+    exact; XLA compiles /255 as a reciprocal-multiply)."""
     from PIL import Image
     img = Image.open(path).convert('L')
     orig_size = img.size  # (W, H)
     if img.size != (img_size, img_size):
         img = img.resize((img_size, img_size), Image.BILINEAR)
-    x = np.asarray(img, np.float32) / 255.0
-    x = (x - 0.5) / 0.5
-    return x[..., None], orig_size
+    return np.asarray(img, np.uint8)[..., None], orig_size
 
 
 def postprocess_mask(prob_tumor, threshold, orig_size):
@@ -204,10 +206,10 @@ def main():
     if (args.device or '').lower() == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
-    from unet_tpu.train.trainer import make_predict_step
+    from unet_tpu.train.trainer import make_predict_step_u8
 
     model, variables, meta = load_model(args.weights)
-    predict_step = jax.jit(make_predict_step(model))
+    predict_step = jax.jit(make_predict_step_u8(model))
     print(f"Loaded model from {args.weights} "
           f"(epoch {meta.get('epoch', '?')})")
 

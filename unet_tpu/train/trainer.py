@@ -219,6 +219,24 @@ def make_predict_step(model) -> Callable:
     return predict_step
 
 
+def make_predict_step_u8(model) -> Callable:
+    """``make_predict_step`` variant taking (N, H, W, 1) uint8 and
+    normalizing on device ((x/255 - 0.5)/0.5, ref predict.py:100-135).
+    The serving/predict wire ships raw bytes — 4x less host->HBM
+    traffic than pre-normalized f32, which matters both on real hosts
+    (PCIe) and acutely on the tunneled dev backend (~26 MB/s link,
+    docs/DESIGN.md); the train path made the same uint8-wire move in
+    r3."""
+    base = make_predict_step(model)
+
+    def predict_step(params, batch_stats, u8: Array):
+        x = u8.astype(jnp.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        return base(params, batch_stats, x)
+
+    return predict_step
+
+
 def group_into_superbatches(n_batches: int, accum_steps: int):
     """Yield (start, count) index groups covering n_batches in chunks of
     accum_steps; the final group may be shorter (leftover flush,
