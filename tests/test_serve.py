@@ -252,3 +252,49 @@ def test_serve_concurrent_requests(server_url):
     for st, _, data in results:
         assert st == 200
         assert json.loads(data)['width'] == IMG
+
+
+def test_serve_data_parallel_sharded_batches(server_url):
+    """When max_batch divides the device count (8 virtual CPU devices,
+    conftest), create_server shards each dispatch over the data mesh;
+    the served mask must equal the single-device u8 inference and
+    /healthz must report the parallelism."""
+    import jax
+    from unet_tpu.cli.serve import create_server
+    from unet_tpu.cli.predict import load_model, postprocess_mask
+    from unet_tpu.train.trainer import make_predict_step_u8
+
+    _, weights = server_url
+    ndev = len(jax.devices())
+    if ndev < 2:
+        pytest.skip('needs a multi-device mesh')
+    server, batcher = create_server(weights, img_size=IMG, threshold=0.5,
+                                    max_batch=ndev, batch_window_ms=1.0,
+                                    host='127.0.0.1', port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    addr = f'{server.server_address[0]}:{server.server_address[1]}'
+    try:
+        status, _, data = _request(addr, 'GET', '/healthz')
+        assert status == 200
+        assert json.loads(data)['data_parallel'] == ndev
+
+        rng = np.random.default_rng(11)
+        arr = (rng.random((IMG, IMG)) * 255).astype(np.uint8)
+        status, _, data = _request(addr, 'POST', '/predict',
+                                   body=_png_bytes(arr))
+        assert status == 200
+        from PIL import Image
+        got = np.asarray(Image.open(io.BytesIO(data)))
+
+        model, variables, _ = load_model(weights)
+        prob = jax.jit(make_predict_step_u8(model))(
+            variables['params'], variables['batch_stats'],
+            arr[None, ..., None])
+        want = postprocess_mask(np.asarray(prob[0, ..., 1]), 0.5,
+                                (IMG, IMG))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()

@@ -14,6 +14,9 @@ This is the TPU-native serving design instead:
 - softmax on device; per-request thresholding + original-size NEAREST
   restore on host (same contract as the predict CLI / ref
   predict.py:138-165).
+- multi-chip: when the compiled batch divides the device count, each
+  dispatch is sharded over a data mesh (GSPMD) — micro-batched
+  concurrent requests scale across chips with no client-visible change.
 
 Stdlib-only HTTP (http.server) so it runs wherever the CLIs run.
 
@@ -254,8 +257,23 @@ def create_server(weights, img_size=512, threshold=0.5, max_batch=8,
     predict_step = jax.jit(make_predict_step_u8(model))
     params, stats = variables['params'], variables['batch_stats']
 
+    # data-parallel serving: when the compiled batch divides the local
+    # device count, shard the batch dim over a mesh and replicate the
+    # params — GSPMD splits every micro-batched dispatch across chips
+    # (same scheme as the predict CLI's directory inference)
+    data_sh = None
+    devices = jax.devices()
+    if len(devices) > 1 and max_batch % len(devices) == 0:
+        from unet_tpu.core.mesh import batch_sharding, create_mesh, replicate
+        mesh = create_mesh(devices, data_parallel=len(devices))
+        data_sh = batch_sharding(mesh, batch_axis=0)
+        params = replicate(mesh, params)
+        stats = replicate(mesh, stats)
+
     def predict(batch_np: np.ndarray) -> np.ndarray:
-        probs = predict_step(params, stats, batch_np)
+        batch = (jax.device_put(batch_np, data_sh) if data_sh is not None
+                 else batch_np)
+        probs = predict_step(params, stats, batch)
         return np.asarray(probs[..., 1])  # tumor channel
 
     # compile once, up front: the serving path never pays jit latency
@@ -269,6 +287,7 @@ def create_server(weights, img_size=512, threshold=0.5, max_batch=8,
         'img_size': img_size,
         'max_batch': max_batch,
         'backend': jax.default_backend(),
+        'data_parallel': len(devices) if data_sh is not None else 1,
     }
     handler = _make_handler(batcher, img_size, threshold, health)
     server = ThreadingHTTPServer((host, port), handler)
