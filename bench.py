@@ -333,6 +333,25 @@ def worker():
                 f'{str(e)[:160]}')
         finally:
             del os.environ['UNET_TPU_S2D_LEVEL']
+    # 1b) larger device batches for the train step — b32/accum1 has
+    #    IDENTICAL effective-batch semantics to the CLI's b8x4 accum
+    #    (BN stats aggregate once per optimizer step either way), so a
+    #    win here is a pure YAML flip (batch_size: 32,
+    #    accumulation_steps: 1). Only on the flag-free base run to keep
+    #    r4_measure.sh's ablation matrix from re-paying the compiles.
+    if (os.environ.get('UNET_TPU_S2D_LEVEL') != '1'
+            and os.environ.get('UNET_TPU_PALLAS_WARP') != '1'
+            and jax.default_backend() == 'tpu' and train_sps > 0):
+        for batch in (16, 32):
+            try:
+                b_sps, b_ms = bench_train(batch)
+                log(json.dumps({f'train_b{batch}_slices_per_sec':
+                                round(b_sps, 2),
+                                f'ms_per_step_b{batch}': round(b_ms, 1)}))
+            except Exception as e:  # OOM at 512^2 is plausible; record
+                log(f'train b{batch} ablation failed: '
+                    f'{type(e).__name__}: {str(e)[:160]}')
+                break
     # 2) Pallas banded-warp aug. A Mosaic rejection just logs; a kernel
     #    fault can wedge the remote worker, which is why this runs dead
     #    last. Skipped when the flag is already set (the ablation run in
