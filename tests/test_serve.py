@@ -298,3 +298,33 @@ def test_serve_data_parallel_sharded_batches(server_url):
         server.shutdown()
         batcher.close()
         server.server_close()
+
+
+def test_serve_metrics_endpoint(server_url):
+    """/metrics aggregates HTTP and batcher counters: after N predict
+    posts the fill histogram accounts for every real row and the
+    latency/dispatch numbers are populated."""
+    addr, _ = server_url
+    rng = np.random.default_rng(5)
+    before = json.loads(_request(addr, 'GET', '/metrics')[2])
+    n0 = before['requests_total']
+    rows0 = before['batcher']['rows_real']
+    for _ in range(3):
+        body = _png_bytes((rng.random((IMG, IMG)) * 255).astype(np.uint8))
+        assert _request(addr, 'POST', '/predict?format=json',
+                        body=body)[0] == 200
+    # a bad request counts toward request_errors_total, not the batcher
+    assert _request(addr, 'POST', '/predict', body=b'junk')[0] == 400
+
+    status, _, data = _request(addr, 'GET', '/metrics')
+    assert status == 200
+    m = json.loads(data)
+    assert m['requests_total'] == n0 + 4
+    assert m['request_errors_total'] >= 1
+    assert m['mean_latency_ms'] > 0 and m['max_latency_ms'] > 0
+    b = m['batcher']
+    assert b['rows_real'] == rows0 + 3
+    assert sum(b['fill']) == b['dispatches'] >= 1
+    assert sum(k * c for k, c in enumerate(b['fill'])) == b['rows_real']
+    assert b['mean_device_ms'] > 0
+    assert 0.0 <= b['pad_fraction'] <= 1.0

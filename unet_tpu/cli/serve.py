@@ -22,6 +22,12 @@ Stdlib-only HTTP (http.server) so it runs wherever the CLIs run.
 
 API:
   GET  /healthz            -> 200 JSON {status, epoch, img_size, ...}
+  GET  /metrics            -> 200 JSON observability snapshot:
+                              requests_total, mean/max latency, and the
+                              batcher's dispatch/fill-histogram/padding/
+                              device-time counters (the numbers that
+                              tell an operator whether --batch-window-ms
+                              is aggregating batch-1 clients)
   POST /predict            -> body: PNG/JPEG bytes; response: PNG mask
                               (uint8 {0,255}, original size) with
                               X-Tumor-Coverage / X-Tumor-Pixels headers
@@ -77,8 +83,29 @@ class MicroBatcher:
         self._window = max(0.0, float(window_s))
         self._q = queue.Queue()
         self._stopping = threading.Event()
+        # observability counters (snapshot() serves them on /metrics);
+        # fill[k] = number of dispatches that carried k real requests —
+        # the histogram that tells an operator whether --batch-window-ms
+        # is actually aggregating batch-1 clients into MXU-sized batches
+        self._stats_lock = threading.Lock()
+        self._stats = {'dispatches': 0, 'rows_real': 0, 'rows_padded': 0,
+                       'errors': 0, 'device_s': 0.0,
+                       'fill': [0] * (self._max_batch + 1)}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def snapshot(self) -> dict:
+        with self._stats_lock:
+            s = dict(self._stats)
+            s['fill'] = list(s['fill'])
+        s['max_batch'] = self._max_batch
+        s['window_ms'] = self._window * 1e3
+        if s['dispatches']:
+            s['mean_fill'] = s['rows_real'] / s['dispatches']
+            s['pad_fraction'] = s['rows_padded'] / (
+                s['rows_real'] + s['rows_padded'])
+            s['mean_device_ms'] = 1e3 * s['device_s'] / s['dispatches']
+        return s
 
     def submit(self, x: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """x: (H, W, 1) uint8 raw input (normalized on device). Returns
@@ -133,11 +160,22 @@ class MicroBatcher:
                 n = len(xs)
                 while len(xs) < self._max_batch:  # pad to compiled shape
                     xs.append(xs[-1])
+                t0 = time.monotonic()
                 probs = np.asarray(self._predict(np.stack(xs)))
+                dt = time.monotonic() - t0
+                with self._stats_lock:
+                    st = self._stats
+                    st['dispatches'] += 1
+                    st['rows_real'] += n
+                    st['rows_padded'] += self._max_batch - n
+                    st['device_s'] += dt
+                    st['fill'][n] += 1
                 for i, s in enumerate(slots):
                     if not s.get('dead'):
                         s['out'] = probs[i]
             except BaseException as e:
+                with self._stats_lock:
+                    self._stats['errors'] += 1
                 for s in slots:
                     if not s.get('dead'):
                         s['err'] = e
@@ -150,6 +188,19 @@ class MicroBatcher:
 def _make_handler(batcher: MicroBatcher, img_size: int,
                   default_threshold: float, health: dict):
     from PIL import Image
+
+    req_lock = threading.Lock()
+    req_stats = {'requests': 0, 'errors': 0, 'latency_s': 0.0,
+                 'latency_max_s': 0.0, 'started': time.monotonic()}
+
+    def record_request(t0: float, ok: bool):
+        dt = time.monotonic() - t0
+        with req_lock:
+            req_stats['requests'] += 1
+            if not ok:
+                req_stats['errors'] += 1
+            req_stats['latency_s'] += dt
+            req_stats['latency_max_s'] = max(req_stats['latency_max_s'], dt)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = 'HTTP/1.1'
@@ -176,35 +227,61 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
             self._send(code, json.dumps(obj).encode(), headers=headers)
 
         def do_GET(self):
-            if urlparse(self.path).path == '/healthz':
+            path = urlparse(self.path).path
+            if path == '/healthz':
                 self._send_json(200, health)
+            elif path == '/metrics':
+                with req_lock:
+                    http_stats = dict(req_stats)
+                n = http_stats.pop('requests')
+                errs = http_stats.pop('errors')
+                rec = {
+                    'requests_total': n,
+                    'request_errors_total': errs,
+                    'uptime_s': round(
+                        time.monotonic() - http_stats['started'], 1),
+                    'mean_latency_ms': round(
+                        1e3 * http_stats['latency_s'] / n, 2) if n else 0.0,
+                    'max_latency_ms': round(
+                        1e3 * http_stats['latency_max_s'], 2),
+                    'batcher': batcher.snapshot(),
+                }
+                self._send_json(200, rec)
             else:
                 self._send_json(404, {'error': 'not found'})
 
         def do_POST(self):
+            t0 = time.monotonic()
+            ok = False
+            try:
+                ok = self._handle_predict()
+            finally:
+                record_request(t0, ok)
+
+        def _handle_predict(self) -> bool:
             url = urlparse(self.path)
             if url.path != '/predict':
                 self._send_json(404, {'error': 'not found'})
-                return
+                return False
             q = parse_qs(url.query)
             length = int(self.headers.get('Content-Length') or 0)
             if length <= 0:
                 self._send_json(400, {'error': 'empty body'})
-                return
+                return False
             if length > 64 << 20:
                 self._send_json(413, {'error': 'body too large'})
-                return
+                return False
             raw = self.rfile.read(length)  # drain BEFORE any 4xx reply
             try:
                 thr = float(q.get('threshold', [default_threshold])[0])
             except ValueError:
                 self._send_json(400, {'error': 'bad threshold'})
-                return
+                return False
             try:
                 img = Image.open(io.BytesIO(raw)).convert('L')
             except Exception as e:
                 self._send_json(400, {'error': f'undecodable image: {e}'})
-                return
+                return False
             orig_size = img.size  # (W, H)
             if img.size != (img_size, img_size):
                 img = img.resize((img_size, img_size), Image.BILINEAR)
@@ -216,7 +293,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                 prob = batcher.submit(x)
             except Exception as e:
                 self._send_json(500, {'error': f'{type(e).__name__}: {e}'})
-                return
+                return False
             mask = (prob > thr).astype(np.uint8) * 255
             m = Image.fromarray(mask)
             if m.size != orig_size:  # NEAREST restore (ref predict.py:163)
@@ -232,7 +309,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                     'height': int(orig_size[1]),
                     'threshold': thr,
                 })
-                return
+                return True
             buf = io.BytesIO()
             # zlib level 1: lossless, 2-4x faster encode than the
             # default — encode time is response latency here
@@ -240,6 +317,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
             self._send(200, buf.getvalue(), ctype='image/png',
                        headers=(('X-Tumor-Pixels', str(tumor_px)),
                                 ('X-Tumor-Coverage', f'{coverage:.6f}')))
+            return True
 
     return Handler
 
