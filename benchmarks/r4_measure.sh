@@ -25,6 +25,10 @@ run bench_base 2700 python bench.py
 UNET_TPU_PALLAS_WARP=1 run bench_warp 2700 python bench.py
 run aug_xla 1800 python benchmarks/aug_bench.py
 UNET_TPU_PALLAS_WARP=1 run aug_pallas 1800 python benchmarks/aug_bench.py
+# tiled-gather fallback variant: the data point that matters if Mosaic
+# rejects the full-width (8, W) dynamic_gather form of the warp kernel
+UNET_TPU_PALLAS_WARP=1 UNET_TPU_WARP_TILED_GATHER=1 \
+  run aug_pallas_tiled 1800 python benchmarks/aug_bench.py
 
 # 3. Whole-level s2d ablation (changes train + infer figures)
 UNET_TPU_S2D_LEVEL=1 run bench_s2d 2700 python bench.py
