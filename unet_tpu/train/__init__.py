@@ -28,6 +28,7 @@ from unet_tpu.train.trainer import (
     init_train_state,
     make_eval_step,
     make_predict_step,
+    make_predict_step_u8,
     make_train_step,
 )
 
@@ -40,6 +41,6 @@ __all__ = [
     'cosine_annealing', 'warmup_cosine', 'ReduceLROnPlateau',
     'create_scheduler',
     'TrainState', 'EmaState', 'create_optimizer', 'init_train_state',
-    'make_train_step', 'make_eval_step', 'make_predict_step', 'ema_update',
-    'ema_reinit',
+    'make_train_step', 'make_eval_step', 'make_predict_step',
+    'make_predict_step_u8', 'ema_update', 'ema_reinit',
 ]
