@@ -157,6 +157,15 @@ def main():
             'latency_p50_ms': round(lat[len(lat) // 2] * 1e3, 1),
             'latency_p95_ms': round(lat[int(len(lat) * 0.95)] * 1e3, 1),
         }))
+        # server-side view: how well the micro-batcher aggregated the
+        # batch-1 clients (fill histogram, padding overhead, device ms)
+        try:
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            conn.request('GET', '/metrics')
+            print(conn.getresponse().read().decode())
+            conn.close()
+        except Exception as e:
+            print(f'/metrics scrape failed: {type(e).__name__}: {e}')
     server.shutdown()
     batcher.close()
     server.server_close()
