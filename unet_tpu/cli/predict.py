@@ -15,11 +15,13 @@ compiled program streams through the TPU, with softmax+threshold on
 device and only uint8 masks returned to host. Original-size restore is
 NEAREST on host (ref predict.py:163).
 
-The stages are pipelined: a background thread decodes/preprocesses chunk
-i+1 while the TPU computes chunk i (JAX dispatch is asynchronous — the
-readback of chunk i-1's probabilities is deferred until its result is
-postprocessed), so directory inference is not serialized on host PNG
-decode the way a naive preprocess->predict->save loop is.
+The stages are pipelined: a decode thread pool (--decode-workers)
+preprocesses chunk i+1 while the TPU computes chunk i (JAX dispatch is
+asynchronous — the readback of chunk i-1's probabilities is deferred
+until its result is postprocessed), and mask/overlay PNG encodes run on
+a save pool (--save-workers). Directory inference is therefore not
+serialized on host PNG decode or deflate the way a naive
+preprocess->predict->save loop is (PIL releases the GIL in both).
 """
 
 import argparse
@@ -51,6 +53,13 @@ def parse_args():
     p.add_argument('--no-save-mask', action='store_true')
     p.add_argument('--batch-size', type=int, default=8,
                    help='TPU batch size for directory inference')
+    p.add_argument('--decode-workers', type=int, default=4,
+                   help='host threads decoding input PNGs (PIL releases '
+                        'the GIL during decode; the reference train '
+                        'loaders use 4 workers, ref train.py:276)')
+    p.add_argument('--save-workers', type=int, default=4,
+                   help='host threads encoding/saving output masks and '
+                        'overlays')
     return p.parse_args()
 
 
@@ -247,18 +256,28 @@ def main():
     n_with_tumor, coverages = 0, []
     skipped = []
 
-    def decoded_chunks():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def try_decode(f):
+        try:
+            return preprocess_image(f, args.img_size)
+        except Exception as e:  # per-image skip (ref predict:311)
+            print(f'  skip {f.name}: {e}')
+            skipped.append(f)
+            return None
+
+    def decoded_chunks(decode_pool):
+        # PIL releases the GIL during PNG decode, so a chunk's images
+        # decode in parallel on multi-core hosts (the decode stage is
+        # the host bound once the device sustains >200 slices/s)
         for start in range(0, len(files), bs):
             chunk = files[start:start + bs]
             batch, metas = [], []
-            for f in chunk:
-                try:
-                    x, orig = preprocess_image(f, args.img_size)
-                    batch.append(x)
-                    metas.append((f, orig))
-                except Exception as e:  # per-image skip (ref predict:311)
-                    print(f'  skip {f.name}: {e}')
-                    skipped.append(f)
+            for dec, f in zip(decode_pool.map(try_decode, chunk), chunk):
+                if dec is None:
+                    continue
+                batch.append(dec[0])
+                metas.append((f, dec[1]))
             if not batch:
                 continue
             n_real = len(batch)
@@ -266,7 +285,20 @@ def main():
                 batch.append(batch[-1])
             yield np.stack(batch), metas, n_real
 
-    def postprocess(tumor_prob, metas, n_real):
+    def save_mask_png(mask, path):
+        from PIL import Image
+        # zlib level 1: lossless and 2-4x faster to encode than PIL's
+        # default 6 — mask PNG encode (7-38 ms/slice at level 6 on this
+        # host) otherwise dominates the save stage and host-binds
+        # directory inference
+        Image.fromarray(mask).save(path, compress_level=1)
+
+    def save_overlay_png(src, mask, path):
+        create_overlay(src, mask).save(path)
+
+    def postprocess(tumor_prob, metas, n_real, save_pool, pending):
+        """Thresholds + stats in this thread; PNG encode/save submitted
+        to the save pool (PIL releases the GIL while deflating)."""
         nonlocal n_with_tumor
         for i in range(n_real):
             f, orig = metas[i]
@@ -274,47 +306,51 @@ def main():
             for thr in thresholds[1:]:  # threshold sweep outputs
                 m2 = postprocess_mask(tumor_prob[i], thr, orig)
                 if not args.no_save_mask:
-                    from PIL import Image
-                    Image.fromarray(m2).save(
-                        out_dir / f'{f.stem}_mask_t{thr:g}.png',
-                        compress_level=1)
+                    pending.append(save_pool.submit(
+                        save_mask_png, m2,
+                        out_dir / f'{f.stem}_mask_t{thr:g}.png'))
             tumor_px = int((mask > 127).sum())
             total_px = mask.size
             if tumor_px > 0:
                 n_with_tumor += 1
             coverages.append(tumor_px / total_px)
             if not args.no_save_mask:
-                from PIL import Image
-                # zlib level 1: lossless and 2-4x faster to encode than
-                # PIL's default 6 — mask PNG encode (7-38 ms/slice at
-                # level 6 on this host) otherwise dominates the save
-                # stage and host-binds directory inference
-                Image.fromarray(mask).save(out_dir / f'{f.stem}_mask.png',
-                                           compress_level=1)
+                pending.append(save_pool.submit(
+                    save_mask_png, mask, out_dir / f'{f.stem}_mask.png'))
             if args.save_overlay:
-                create_overlay(f, mask).save(
-                    out_dir / f'{f.stem}_overlay.png')
+                pending.append(save_pool.submit(
+                    save_overlay_png, f, mask,
+                    out_dir / f'{f.stem}_overlay.png'))
             print(f'  {f.name}: tumor coverage '
                   f'{100.0 * tumor_px / total_px:.2f}%')
 
-    # pipelined drive loop: decode (background thread) || TPU compute
-    # (async dispatch) || postprocess+save (this thread, one chunk behind)
+    # pipelined drive loop: decode (thread pool behind a background
+    # iterator) || TPU compute (async dispatch) || postprocess (this
+    # thread, one chunk behind) || PNG save (thread pool)
     import time
     from collections import deque
     t_drive = time.time()
     inflight = deque()
-    for batch, metas, n_real in background_iter(decoded_chunks()):
-        batch = (jax.device_put(batch, data_sh) if data_sh is not None
-                 else jnp.asarray(batch))
-        probs = predict_step(variables['params'], variables['batch_stats'],
-                             batch)
-        inflight.append((probs, metas, n_real))
-        if len(inflight) > 1:  # keep one chunk computing on device
+    pending = []
+    with ThreadPoolExecutor(max(1, args.decode_workers)) as decode_pool, \
+            ThreadPoolExecutor(max(1, args.save_workers)) as save_pool:
+        for batch, metas, n_real in background_iter(
+                decoded_chunks(decode_pool)):
+            batch = (jax.device_put(batch, data_sh) if data_sh is not None
+                     else jnp.asarray(batch))
+            probs = predict_step(variables['params'],
+                                 variables['batch_stats'], batch)
+            inflight.append((probs, metas, n_real))
+            if len(inflight) > 1:  # keep one chunk computing on device
+                probs0, metas0, n0 = inflight.popleft()
+                postprocess(np.asarray(probs0[..., 1]), metas0, n0,
+                            save_pool, pending)
+        while inflight:
             probs0, metas0, n0 = inflight.popleft()
-            postprocess(np.asarray(probs0[..., 1]), metas0, n0)
-    while inflight:
-        probs0, metas0, n0 = inflight.popleft()
-        postprocess(np.asarray(probs0[..., 1]), metas0, n0)
+            postprocess(np.asarray(probs0[..., 1]), metas0, n0,
+                        save_pool, pending)
+        for fut in pending:  # surface any save failure (same fatality
+            fut.result()     # as the former inline Image.save)
     n_failed = len(skipped)
     drive_dt = time.time() - t_drive
 
