@@ -30,8 +30,9 @@ def test_microbatcher_batches_concurrent_requests():
 
     calls = []
 
-    def fake_predict(batch):
+    def fake_predict(batch, thr):
         calls.append(batch.shape[0])
+        assert thr.shape == (batch.shape[0],)
         return batch[..., 0] * 2.0  # (N, H, W)
 
     b = MicroBatcher(fake_predict, max_batch=4, window_s=0.5)
@@ -58,7 +59,7 @@ def test_microbatcher_pads_partial_batch_and_propagates_errors():
 
     shapes = []
 
-    def fake_predict(batch):
+    def fake_predict(batch, thr):
         shapes.append(batch.shape)
         if len(shapes) > 1:
             raise RuntimeError('device fell over')

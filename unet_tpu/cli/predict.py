@@ -12,7 +12,8 @@ TPU-native redesign of the hot path: the reference runs batch-size-1
 sequential inference (predict.py:284-309); here the whole source
 directory is batched to a fixed shape (--batch-size, default 8) so one
 compiled program streams through the TPU, with softmax+threshold on
-device and only uint8 masks returned to host. Original-size restore is
+device and only BIT-PACKED binary masks returned to host (1 bit/px —
+32x less readback than f32 probabilities). Original-size restore is
 NEAREST on host (ref predict.py:163).
 
 The stages are pipelined: a decode thread pool (--decode-workers)
@@ -215,10 +216,11 @@ def main():
     if (args.device or '').lower() == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
-    from unet_tpu.train.trainer import make_predict_step_u8
+    from unet_tpu.ops.bitpack import unpack_masks_host
+    from unet_tpu.train.trainer import make_predict_masks_step
 
     model, variables, meta = load_model(args.weights)
-    predict_step = jax.jit(make_predict_step_u8(model))
+    predict_step = jax.jit(make_predict_masks_step(model))
     print(f"Loaded model from {args.weights} "
           f"(epoch {meta.get('epoch', '?')})")
 
@@ -251,7 +253,10 @@ def main():
         variables = replicate(mesh, variables)
         print(f'Sharding batches over {len(devices)} devices')
     thresholds = [float(t) for t in str(args.threshold).split(',')]
-    main_thr = thresholds[0]
+    # the whole threshold sweep runs ON DEVICE in one step and only
+    # bit-packed binary masks are read back (1 bit/px vs 4 B/px of f32
+    # probability — 32x less device->host traffic per threshold)
+    thr_vec = np.asarray(thresholds, np.float32)
 
     n_with_tumor, coverages = 0, []
     skipped = []
@@ -296,16 +301,30 @@ def main():
     def save_overlay_png(src, mask, path):
         create_overlay(src, mask).save(path)
 
-    def postprocess(tumor_prob, metas, n_real, save_pool, pending):
-        """Thresholds + stats in this thread; PNG encode/save submitted
-        to the save pool (PIL releases the GIL while deflating)."""
+    def restore_mask(mask255, orig_size):
+        """NEAREST restore of a {0,255} mask to the original size
+        (ref predict.py:163); identity when sizes already match."""
+        from PIL import Image
+        m = Image.fromarray(mask255)
+        if m.size != orig_size:
+            m = m.resize(orig_size, Image.NEAREST)
+        return np.asarray(m)
+
+    def postprocess(packed, metas, n_real, save_pool, pending):
+        """packed: (T, N, H, ceil(W/8)) uint8 device-thresholded masks.
+        Unpack + stats in this thread; PNG encode/save submitted to the
+        save pool (PIL releases the GIL while deflating)."""
         nonlocal n_with_tumor
         for i in range(n_real):
             f, orig = metas[i]
-            mask = postprocess_mask(tumor_prob[i], main_thr, orig)
-            for thr in thresholds[1:]:  # threshold sweep outputs
-                m2 = postprocess_mask(tumor_prob[i], thr, orig)
-                if not args.no_save_mask:
+            mask = restore_mask(
+                unpack_masks_host(packed[0, i], args.img_size)
+                * np.uint8(255), orig)
+            for ti, thr in enumerate(thresholds[1:], start=1):
+                if not args.no_save_mask:  # threshold sweep outputs
+                    m2 = restore_mask(
+                        unpack_masks_host(packed[ti, i], args.img_size)
+                        * np.uint8(255), orig)
                     pending.append(save_pool.submit(
                         save_mask_png, m2,
                         out_dir / f'{f.stem}_mask_t{thr:g}.png'))
@@ -338,16 +357,16 @@ def main():
                 decoded_chunks(decode_pool)):
             batch = (jax.device_put(batch, data_sh) if data_sh is not None
                      else jnp.asarray(batch))
-            probs = predict_step(variables['params'],
-                                 variables['batch_stats'], batch)
-            inflight.append((probs, metas, n_real))
+            packed = predict_step(variables['params'],
+                                  variables['batch_stats'], batch, thr_vec)
+            inflight.append((packed, metas, n_real))
             if len(inflight) > 1:  # keep one chunk computing on device
-                probs0, metas0, n0 = inflight.popleft()
-                postprocess(np.asarray(probs0[..., 1]), metas0, n0,
+                packed0, metas0, n0 = inflight.popleft()
+                postprocess(np.asarray(packed0), metas0, n0,
                             save_pool, pending)
         while inflight:
-            probs0, metas0, n0 = inflight.popleft()
-            postprocess(np.asarray(probs0[..., 1]), metas0, n0,
+            packed0, metas0, n0 = inflight.popleft()
+            postprocess(np.asarray(packed0), metas0, n0,
                         save_pool, pending)
         for fut in pending:  # surface any save failure (same fatality
             fut.result()     # as the former inline Image.save)

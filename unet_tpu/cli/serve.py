@@ -11,9 +11,12 @@ This is the TPU-native serving design instead:
 - micro-batching: concurrent requests that arrive within
   ``--batch-window-ms`` of each other share one device dispatch — the
   MXU sees real batches even when clients send one image at a time.
-- softmax on device; per-request thresholding + original-size NEAREST
-  restore on host (same contract as the predict CLI / ref
-  predict.py:138-165).
+- softmax AND per-request thresholding on device (each micro-batched
+  request carries its own threshold in a (N,) vector); only BIT-PACKED
+  binary masks cross the device->host link — 1 bit/px instead of
+  4 B/px of f32 probability (32x less readback; at 512² that is
+  32 KB vs 1 MB per slice). Original-size NEAREST restore on host
+  (same output contract as the predict CLI / ref predict.py:138-165).
 - multi-chip: when the compiled batch divides the device count, each
   dispatch is sharded over a data mesh (GSPMD) — micro-batched
   concurrent requests scale across chips with no client-visible change.
@@ -74,8 +77,9 @@ class MicroBatcher:
     ``submit`` blocks the calling (HTTP handler) thread until its
     result is ready; a single worker thread drains the queue, waits up
     to ``window_s`` for co-travellers (up to ``max_batch``), pads the
-    batch to the compiled shape, runs ``predict_fn`` once, and fans the
-    per-row tumor-probability maps back out."""
+    batch (and its per-request threshold vector) to the compiled shape,
+    runs ``predict_fn`` once, and fans the per-row packed masks back
+    out."""
 
     def __init__(self, predict_fn, max_batch: int, window_s: float):
         self._predict = predict_fn
@@ -107,12 +111,15 @@ class MicroBatcher:
             s['mean_device_ms'] = 1e3 * s['device_s'] / s['dispatches']
         return s
 
-    def submit(self, x: np.ndarray, timeout: float = 60.0) -> np.ndarray:
-        """x: (H, W, 1) uint8 raw input (normalized on device). Returns
-        (H, W) f32 tumor probabilities. Raises on worker failure or
-        timeout."""
+    def submit(self, x: np.ndarray, threshold: float = 0.5,
+               timeout: float = 60.0) -> np.ndarray:
+        """x: (H, W, 1) uint8 raw input (normalized on device);
+        threshold: this request's tumor-probability cut (applied on
+        device). Returns (H, ceil(W/8)) uint8 BIT-PACKED binary mask
+        (ops.bitpack.unpack_masks_host restores (H, W) {0,1}). Raises
+        on worker failure or timeout."""
         ev = threading.Event()
-        slot = {'ev': ev, 'x': x}
+        slot = {'ev': ev, 'x': x, 'thr': float(threshold)}
         self._q.put(slot)
         if not ev.wait(timeout):
             slot['dead'] = True  # worker discards late results
@@ -157,11 +164,14 @@ class MicroBatcher:
                 continue
             try:
                 xs = [s['x'] for s in slots]
+                thrs = [s['thr'] for s in slots]
                 n = len(xs)
                 while len(xs) < self._max_batch:  # pad to compiled shape
                     xs.append(xs[-1])
+                    thrs.append(thrs[-1])
                 t0 = time.monotonic()
-                probs = np.asarray(self._predict(np.stack(xs)))
+                outs = np.asarray(self._predict(
+                    np.stack(xs), np.asarray(thrs, np.float32)))
                 dt = time.monotonic() - t0
                 with self._stats_lock:
                     st = self._stats
@@ -172,7 +182,7 @@ class MicroBatcher:
                     st['fill'][n] += 1
                 for i, s in enumerate(slots):
                     if not s.get('dead'):
-                        s['out'] = probs[i]
+                        s['out'] = outs[i]
             except BaseException as e:
                 with self._stats_lock:
                     self._stats['errors'] += 1
@@ -188,6 +198,8 @@ class MicroBatcher:
 def _make_handler(batcher: MicroBatcher, img_size: int,
                   default_threshold: float, health: dict):
     from PIL import Image
+
+    from unet_tpu.ops.bitpack import unpack_masks_host
 
     req_lock = threading.Lock()
     req_stats = {'requests': 0, 'errors': 0, 'latency_s': 0.0,
@@ -290,11 +302,13 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
             # 1 ULP); host->HBM ships 4x fewer bytes per request
             x = np.asarray(img, np.uint8)[..., None]
             try:
-                prob = batcher.submit(x)
+                packed = batcher.submit(x, threshold=thr)
             except Exception as e:
                 self._send_json(500, {'error': f'{type(e).__name__}: {e}'})
                 return False
-            mask = (prob > thr).astype(np.uint8) * 255
+            # thresholding already ran on device (f32 `>` as before);
+            # only 1 bit/px crossed the link
+            mask = unpack_masks_host(packed, img_size) * np.uint8(255)
             m = Image.fromarray(mask)
             if m.size != orig_size:  # NEAREST restore (ref predict.py:163)
                 m = m.resize(orig_size, Image.NEAREST)
@@ -329,10 +343,10 @@ def create_server(weights, img_size=512, threshold=0.5, max_batch=8,
     request). Separated from main() so tests can run it on port 0."""
     import jax
     from unet_tpu.cli.predict import load_model
-    from unet_tpu.train.trainer import make_predict_step_u8
+    from unet_tpu.train.trainer import make_serve_masks_step
 
     model, variables, meta = load_model(weights)
-    predict_step = jax.jit(make_predict_step_u8(model))
+    predict_step = jax.jit(make_serve_masks_step(model))
     params, stats = variables['params'], variables['batch_stats']
 
     # data-parallel serving: when the compiled batch divides the local
@@ -348,14 +362,16 @@ def create_server(weights, img_size=512, threshold=0.5, max_batch=8,
         params = replicate(mesh, params)
         stats = replicate(mesh, stats)
 
-    def predict(batch_np: np.ndarray) -> np.ndarray:
-        batch = (jax.device_put(batch_np, data_sh) if data_sh is not None
-                 else batch_np)
-        probs = predict_step(params, stats, batch)
-        return np.asarray(probs[..., 1])  # tumor channel
+    def predict(batch_np: np.ndarray, thr_np: np.ndarray) -> np.ndarray:
+        if data_sh is not None:
+            batch_np = jax.device_put(batch_np, data_sh)
+            thr_np = jax.device_put(thr_np, data_sh)  # P('data') fits (N,)
+        # (N, H, ceil(W/8)) uint8 packed masks — thresholding on device
+        return predict_step(params, stats, batch_np, thr_np)
 
     # compile once, up front: the serving path never pays jit latency
-    predict(np.zeros((max_batch, img_size, img_size, 1), np.uint8))
+    predict(np.zeros((max_batch, img_size, img_size, 1), np.uint8),
+            np.full((max_batch,), 0.5, np.float32))
 
     batcher = MicroBatcher(predict, max_batch, batch_window_ms / 1e3)
     health = {

@@ -40,3 +40,29 @@ def unpack_masks(packed, width: int):
     bits = (packed[..., None] >> shifts) & jnp.uint8(1)
     out = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
     return out[..., :width].astype(jnp.int32)
+
+
+def pack_masks_device(masks):
+    """Device side (jit-safe) pack for the device->host direction:
+    (..., W) {0,1} int/bool -> (..., ceil(W/8)) uint8, MSB-first (same
+    bit order as ``pack_masks``/numpy). Used by the predict/serve
+    readback wire: thresholding runs on device and only 1-bit masks
+    cross the link (32x less readback than f32 probabilities at 512²
+    — which otherwise dominates the tunneled link at ~1 MB per slice)."""
+    import jax.numpy as jnp
+
+    w = masks.shape[-1]
+    pad = (-w) % 8
+    m = masks.astype(jnp.uint32)
+    if pad:
+        m = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+    m = m.reshape(m.shape[:-1] + (m.shape[-1] // 8, 8))
+    weights = jnp.uint32(1) << jnp.arange(7, -1, -1, dtype=jnp.uint32)
+    return (m * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_masks_host(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host side inverse of ``pack_masks_device``: (..., ceil(W/8))
+    uint8 -> (..., width) uint8 in {0, 1} (one C-speed unpackbits)."""
+    out = np.unpackbits(np.asarray(packed, np.uint8), axis=-1)
+    return out[..., :width]
