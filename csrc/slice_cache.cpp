@@ -35,7 +35,13 @@ struct Gray8 {
 
 // Decode any PNG to 8-bit grayscale (libpng handles palette/rgb/16-bit
 // inputs; we fold color to luminance like PIL's convert('L')).
-bool decode_png_gray(const char* path, Gray8* out, std::string* err) {
+// `needs_pil` (optional) reports inputs whose 8-bit reduction differs
+// from Pillow's: color->gray (libpng's fixed-point luma rounding can be
+// 1 LSB off Pillow's) and 16-bit gray (libpng chops high byte, Pillow's
+// convert('L') from mode I;16 CLIPS at 255). Callers that promise PIL
+// bit-exactness (decode_resize_batch) must fall back to PIL for these.
+bool decode_png_gray(const char* path, Gray8* out, std::string* err,
+                     bool* needs_pil = nullptr) {
   FILE* fp = std::fopen(path, "rb");
   if (!fp) {
     *err = std::string("cannot open ") + path;
@@ -59,15 +65,24 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err) {
   png_init_io(png, fp);
   png_read_info(png, info);
 
-  png_set_strip_16(png);
-  png_set_strip_alpha(png);
-  png_set_palette_to_rgb(png);
-  png_set_expand_gray_1_2_4_to_8(png);
+  // register only the transforms this image needs — unconditional
+  // registration routes every row through libpng's transform pass
   int color = png_get_color_type(png, info);
-  if (color == PNG_COLOR_TYPE_RGB || color == PNG_COLOR_TYPE_RGB_ALPHA ||
-      color == PNG_COLOR_TYPE_PALETTE) {
+  int depth = png_get_bit_depth(png, info);
+  bool is_color = color == PNG_COLOR_TYPE_RGB ||
+                  color == PNG_COLOR_TYPE_RGB_ALPHA ||
+                  color == PNG_COLOR_TYPE_PALETTE;
+  if (needs_pil) *needs_pil = is_color || depth == 16;
+  if (depth == 16) png_set_strip_16(png);
+  if (depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (is_color) {
     // ITU-R 601 luma, the same weights PIL uses for convert('L')
     png_set_rgb_to_gray(png, PNG_ERROR_ACTION_NONE, 0.299, 0.587);
+  }
+  if (png_get_interlace_type(png, info) != PNG_INTERLACE_NONE) {
+    png_set_interlace_handling(png);
   }
   png_read_update_info(png, info);
 
@@ -75,11 +90,20 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err) {
   out->h = static_cast<int>(png_get_image_height(png, info));
   size_t rowbytes = png_get_rowbytes(png, info);
   out->data.assign(static_cast<size_t>(out->h) * out->w, 0);
-  std::vector<uint8_t> row(rowbytes);
-  for (int y = 0; y < out->h; ++y) {
-    png_read_row(png, row.data(), nullptr);
-    std::memcpy(out->data.data() + static_cast<size_t>(y) * out->w,
-                row.data(), out->w);
+  if (rowbytes == static_cast<size_t>(out->w)) {
+    // gray8 fast path: decode rows straight into the output plane
+    std::vector<png_bytep> rows(out->h);
+    for (int y = 0; y < out->h; ++y) {
+      rows[y] = out->data.data() + static_cast<size_t>(y) * out->w;
+    }
+    png_read_image(png, rows.data());
+  } else {
+    std::vector<uint8_t> row(rowbytes);
+    for (int y = 0; y < out->h; ++y) {
+      png_read_row(png, row.data(), nullptr);
+      std::memcpy(out->data.data() + static_cast<size_t>(y) * out->w,
+                  row.data(), out->w);
+    }
   }
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
@@ -290,6 +314,63 @@ int build_slice_cache(const char** image_paths, const char** label_paths,
     return 3;
   }
   return 0;
+}
+
+// Inference decode stage (unet_tpu/cli/predict.py): decode n PNGs to
+// 8-bit grayscale and PIL-exact bilinear-resize each to
+// img_size x img_size (identity memcpy when the size already matches,
+// mirroring preprocess_image). out: caller buffer of n*img_size^2
+// bytes. meta: 2n int32s — on success meta[2i]=orig_w,
+// meta[2i+1]=orig_h; per-image failures do NOT fail the batch:
+// meta[2i] = -1 (decode error; caller skips or retries via PIL for the
+// error message) or -2 (color or 16-bit input; caller falls back to PIL
+// whose convert('L') reduction we don't reproduce bit-exactly — luma
+// rounding for color, clip-at-255 vs high-byte chop for 16-bit).
+// Multithreaded like build_slice_cache. Returns the number of images
+// decoded natively.
+int decode_resize_batch(const char** image_paths, int n, int img_size,
+                        uint8_t* out, int32_t* meta, int num_threads) {
+  const size_t plane = static_cast<size_t>(img_size) * img_size;
+  std::atomic<int> next{0};
+  std::atomic<int> ok_count{0};
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      Gray8 img;
+      std::string err;
+      bool needs_pil = false;
+      if (!decode_png_gray(image_paths[i], &img, &err, &needs_pil)) {
+        meta[2 * i] = -1;
+        meta[2 * i + 1] = 0;
+        continue;
+      }
+      if (needs_pil) {
+        meta[2 * i] = -2;
+        meta[2 * i + 1] = 0;
+        continue;
+      }
+      uint8_t* dst = out + static_cast<size_t>(i) * plane;
+      if (img.w == img_size && img.h == img_size) {
+        std::memcpy(dst, img.data.data(), plane);
+      } else {
+        resize_bilinear(img, dst, img_size);
+      }
+      meta[2 * i] = img.w;
+      meta[2 * i + 1] = img.h;
+      ok_count.fetch_add(1);
+    }
+  };
+
+  int nt = num_threads > 0 ? num_threads
+                           : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > n) nt = n;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return ok_count.load();
 }
 
 }  // extern "C"

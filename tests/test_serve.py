@@ -255,6 +255,34 @@ def test_serve_concurrent_requests(server_url):
         assert json.loads(data)['width'] == IMG
 
 
+def test_serve_per_request_thresholds_share_dispatch(server_url):
+    """Two concurrent requests with OPPOSITE thresholds on the same
+    image: thresholding runs on device with a per-row (N,) threshold
+    vector, so rows sharing one micro-batched dispatch must still get
+    their own cut (threshold 0.0 -> every pixel tumor, 1.0 -> none)."""
+    addr, _ = server_url
+    rng = np.random.default_rng(6)
+    body = _png_bytes((rng.random((IMG, IMG)) * 255).astype(np.uint8))
+    results = {}
+
+    def call(thr):
+        results[thr] = _request(
+            addr, 'POST', f'/predict?format=json&threshold={thr}',
+            body=body)
+
+    threads = [threading.Thread(target=call, args=(t,))
+               for t in (0.0, 1.0)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60.0)
+    st0, _, data0 = results[0.0]
+    st1, _, data1 = results[1.0]
+    assert st0 == 200 and st1 == 200
+    assert json.loads(data0)['tumor_pixels'] == IMG * IMG
+    assert json.loads(data1)['tumor_pixels'] == 0
+
+
 def test_serve_data_parallel_sharded_batches(server_url):
     """When max_batch divides the device count (8 virtual CPU devices,
     conftest), create_server shards each dispatch over the data mesh;

@@ -16,13 +16,17 @@ device and only BIT-PACKED binary masks returned to host (1 bit/px —
 32x less readback than f32 probabilities). Original-size restore is
 NEAREST on host (ref predict.py:163).
 
-The stages are pipelined: a decode thread pool (--decode-workers)
-preprocesses chunk i+1 while the TPU computes chunk i (JAX dispatch is
-asynchronous — the readback of chunk i-1's probabilities is deferred
-until its result is postprocessed), and mask/overlay PNG encodes run on
-a save pool (--save-workers). Directory inference is therefore not
-serialized on host PNG decode or deflate the way a naive
-preprocess->predict->save loop is (PIL releases the GIL in both).
+The stages are pipelined: a decode stage preprocesses chunk i+1 while
+the TPU computes chunk i (JAX dispatch is asynchronous — the readback
+of chunk i-1's masks is deferred until its result is postprocessed),
+and mask/overlay PNG encodes run on a save pool (--save-workers).
+Directory inference is therefore not serialized on host PNG decode or
+deflate the way a naive preprocess->predict->save loop is. Grayscale
+PNGs decode through the native C++ stage (csrc decode_resize_batch:
+threaded libpng + Pillow-bit-exact resize, no per-image Python
+overhead); color/16-bit/corrupt/non-PNG inputs fall back to a PIL thread pool
+(--decode-workers), with identical pixels either way
+(tests/test_native_decode.py).
 """
 
 import argparse
@@ -58,6 +62,11 @@ def parse_args():
                    help='host threads decoding input PNGs (PIL releases '
                         'the GIL during decode; the reference train '
                         'loaders use 4 workers, ref train.py:276)')
+    p.add_argument('--no-native-decode', action='store_true',
+                   help='force the PIL decode path (the native '
+                        'libpng/C++ decode stage is bit-exact with PIL '
+                        'for grayscale PNGs and used automatically when '
+                        'csrc/libslicecache.so is available)')
     p.add_argument('--save-workers', type=int, default=4,
                    help='host threads encoding/saving output masks and '
                         'overlays')
@@ -271,6 +280,51 @@ def main():
             skipped.append(f)
             return None
 
+    native_fn = None
+    if not args.no_native_decode:
+        try:
+            from unet_tpu.data.cache import native_decode_batch
+            native_fn = native_decode_batch
+        except Exception:
+            native_fn = None
+
+    def decode_chunk(chunk, decode_pool):
+        """Decode one chunk, native-first: grayscale PNGs go through the
+        threaded C++ libpng decode + PIL-bit-exact resize stage
+        (csrc decode_resize_batch — no Python/PIL overhead per image);
+        color/16-bit/corrupt/non-PNG files fall back to the PIL pool
+        (identical pixels either way; the native stage refuses inputs
+        whose PIL 8-bit reduction libpng doesn't reproduce bit-exactly:
+        color luma rounding, 16-bit clip-vs-chop). Returns per-
+        file ((H, W, 1) uint8, orig_size) or None (skipped), aligned."""
+        nonlocal native_fn
+        results = [None] * len(chunk)
+        pil_idx = list(range(len(chunk)))
+        if native_fn is not None:
+            png_idx = [i for i, f in enumerate(chunk)
+                       if f.suffix.lower() == '.png']
+            if png_idx:
+                dec = native_fn([chunk[i] for i in png_idx], args.img_size,
+                                num_threads=max(1, args.decode_workers))
+                if dec is None:  # lib unavailable: stop retrying
+                    native_fn = None
+                else:
+                    out, meta = dec
+                    pil_idx = [i for i in range(len(chunk))
+                               if i not in png_idx]
+                    for j, i in enumerate(png_idx):
+                        w, h = int(meta[j, 0]), int(meta[j, 1])
+                        if w >= 0:
+                            results[i] = (out[j][..., None], (w, h))
+                        else:  # decode error / color / 16-bit -> PIL
+                            pil_idx.append(i)
+        if pil_idx:
+            pil_idx.sort()
+            for dec, i in zip(decode_pool.map(
+                    try_decode, [chunk[i] for i in pil_idx]), pil_idx):
+                results[i] = dec
+        return results
+
     def decoded_chunks(decode_pool):
         # PIL releases the GIL during PNG decode, so a chunk's images
         # decode in parallel on multi-core hosts (the decode stage is
@@ -278,7 +332,7 @@ def main():
         for start in range(0, len(files), bs):
             chunk = files[start:start + bs]
             batch, metas = [], []
-            for dec, f in zip(decode_pool.map(try_decode, chunk), chunk):
+            for dec, f in zip(decode_chunk(chunk, decode_pool), chunk):
                 if dec is None:
                     continue
                 batch.append(dec[0])

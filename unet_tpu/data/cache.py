@@ -32,24 +32,46 @@ _MAGIC = b'USC1'
 _CSRC = Path(__file__).resolve().parent.parent.parent / 'csrc'
 
 
+_LIB_CACHE: List[Optional[ctypes.CDLL]] = []
+
+
 def _native_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native cache builder."""
+    """Load (building if needed) the native cache builder. The handle is
+    memoized: the predict CLI calls this per decoded chunk."""
+    if _LIB_CACHE:
+        return _LIB_CACHE[0]
     so = _CSRC / 'libslicecache.so'
     if not so.exists():
         try:
             subprocess.run(['make', '-C', str(_CSRC)], check=True,
                            capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
+            _LIB_CACHE.append(None)
             return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:
-        return None
-    lib.build_slice_cache.restype = ctypes.c_int
-    lib.build_slice_cache.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
-        ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
-    lib.slice_cache_last_error.restype = ctypes.c_char_p
+        lib = None
+    if lib is not None and not hasattr(lib, 'decode_resize_batch'):
+        # stale pre-r4 .so on disk: rebuild once and reload
+        try:
+            subprocess.run(['make', '-B', '-C', str(_CSRC)], check=True,
+                           capture_output=True)
+            lib = ctypes.CDLL(str(so))
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            lib = None
+    if lib is not None:
+        lib.build_slice_cache.restype = ctypes.c_int
+        lib.build_slice_cache.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.slice_cache_last_error.restype = ctypes.c_char_p
+        lib.decode_resize_batch.restype = ctypes.c_int
+        lib.decode_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int]
+    _LIB_CACHE.append(lib)
     return lib
 
 
@@ -69,6 +91,31 @@ def _build_native(image_paths: List[str], label_paths: List[str],
         raise RuntimeError('native cache build failed: '
                            f'{lib.slice_cache_last_error().decode()}')
     return True
+
+
+def native_decode_batch(paths, img_size: int, num_threads: int = 0
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded native PNG decode + PIL-bit-exact bilinear resize for the
+    predict CLI's decode stage (csrc decode_resize_batch). Returns
+    ``(images (n, S, S) uint8, meta (n, 2) int32)`` where meta rows are
+    ``[orig_w, orig_h]`` on success, ``[-1, 0]`` for a decode failure and
+    ``[-2, 0]`` for a color or 16-bit input (both: caller falls back to
+    PIL — libpng's color->luma rounding and 16-bit high-byte chop aren't
+    Pillow-bit-exact). Returns None
+    when the native library is unavailable; rows flagged negative carry
+    undefined pixels."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, img_size, img_size), np.uint8)
+    meta = np.empty((n, 2), np.int32)
+    ArrT = ctypes.c_char_p * n
+    lib.decode_resize_batch(
+        ArrT(*[str(p).encode() for p in paths]), n, img_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
+    return out, meta
 
 
 def _build_python(image_paths: List[str], label_paths: List[str],
