@@ -33,40 +33,18 @@ struct Gray8 {
   int w = 0, h = 0;
 };
 
-// Decode any PNG to 8-bit grayscale (libpng handles palette/rgb/16-bit
-// inputs; we fold color to luminance like PIL's convert('L')).
-// `needs_pil` (optional) reports inputs whose 8-bit reduction differs
-// from Pillow's: color->gray (libpng's fixed-point luma rounding can be
-// 1 LSB off Pillow's) and 16-bit gray (libpng chops high byte, Pillow's
-// convert('L') from mode I;16 CLIPS at 255). Callers that promise PIL
-// bit-exactness (decode_resize_batch) must fall back to PIL for these.
-bool decode_png_gray(const char* path, Gray8* out, std::string* err,
-                     bool* needs_pil = nullptr) {
-  FILE* fp = std::fopen(path, "rb");
-  if (!fp) {
-    *err = std::string("cannot open ") + path;
-    return false;
-  }
-  png_structp png =
-      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  png_infop info = png ? png_create_info_struct(png) : nullptr;
-  if (!png || !info) {
-    if (png) png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(fp);
-    *err = "libpng init failed";
-    return false;
-  }
-  if (setjmp(png_jmpbuf(png))) {
-    png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(fp);
-    *err = std::string("png decode error in ") + path;
-    return false;
-  }
-  png_init_io(png, fp);
+// Shared decode body, called after png_read_info under the caller's
+// setjmp context. Registers only the transforms this image needs —
+// unconditional registration routes every row through libpng's
+// transform pass. `needs_pil` (optional) reports inputs whose 8-bit
+// reduction differs from Pillow's: color->gray (libpng's fixed-point
+// luma rounding can be 1 LSB off Pillow's) and 16-bit gray (libpng
+// chops the high byte, Pillow's convert('L') from mode I;16 CLIPS at
+// 255). Callers that promise PIL bit-exactness (decode_resize_batch /
+// decode_resize_mem) must fall back to PIL for these.
+void read_gray8_body(png_structp png, png_infop info, Gray8* out,
+                     bool* needs_pil) {
   png_read_info(png, info);
-
-  // register only the transforms this image needs — unconditional
-  // registration routes every row through libpng's transform pass
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
   bool is_color = color == PNG_COLOR_TYPE_RGB ||
@@ -105,8 +83,73 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err,
                   row.data(), out->w);
     }
   }
+}
+
+// Decode a PNG file to 8-bit grayscale (see read_gray8_body).
+bool decode_png_gray(const char* path, Gray8* out, std::string* err,
+                     bool* needs_pil = nullptr) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) {
+    *err = std::string("cannot open ") + path;
+    return false;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {
+    if (png) png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    *err = "libpng init failed";
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    *err = std::string("png decode error in ") + path;
+    return false;
+  }
+  png_init_io(png, fp);
+  read_gray8_body(png, info, out, needs_pil);
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
+  return true;
+}
+
+// In-memory PNG source for decode_png_gray_mem (the serving path
+// decodes request bodies, never files).
+struct MemSource {
+  const uint8_t* p;
+  size_t left;
+};
+
+void mem_read_fn(png_structp png, png_bytep dst, png_size_t n) {
+  MemSource* s = static_cast<MemSource*>(png_get_io_ptr(png));
+  if (n > s->left) png_error(png, "unexpected end of PNG buffer");
+  std::memcpy(dst, s->p, n);
+  s->p += n;
+  s->left -= n;
+}
+
+// Decode an in-memory PNG to 8-bit grayscale (see read_gray8_body).
+bool decode_png_gray_mem(const uint8_t* data, size_t len, Gray8* out,
+                         std::string* err, bool* needs_pil = nullptr) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info) {
+    if (png) png_destroy_read_struct(&png, &info, nullptr);
+    *err = "libpng init failed";
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    *err = "png decode error in memory buffer";
+    return false;
+  }
+  MemSource src{data, len};
+  png_set_read_fn(png, &src, mem_read_fn);
+  read_gray8_body(png, info, out, needs_pil);
+  png_destroy_read_struct(&png, &info, nullptr);
   return true;
 }
 
@@ -371,6 +414,41 @@ int decode_resize_batch(const char** image_paths, int n, int img_size,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return ok_count.load();
+}
+
+// Serving decode stage (unet_tpu/cli/serve.py): decode ONE in-memory
+// PNG (an HTTP request body) to 8-bit grayscale and PIL-exact
+// bilinear-resize to img_size x img_size. Same contract as one row of
+// decode_resize_batch: out is a caller buffer of img_size^2 bytes; on
+// success meta[0]=orig_w, meta[1]=orig_h and 1 is returned; meta[0] is
+// -1 (decode error) or -2 (color/16-bit input — caller falls back to
+// PIL, see read_gray8_body) with 0 returned.
+int decode_resize_mem(const uint8_t* data, int64_t len, int img_size,
+                      uint8_t* out, int32_t* meta) {
+  Gray8 img;
+  std::string err;
+  bool needs_pil = false;
+  if (len < 0 ||
+      !decode_png_gray_mem(data, static_cast<size_t>(len), &img, &err,
+                           &needs_pil)) {
+    meta[0] = -1;
+    meta[1] = 0;
+    return 0;
+  }
+  if (needs_pil) {
+    meta[0] = -2;
+    meta[1] = 0;
+    return 0;
+  }
+  const size_t plane = static_cast<size_t>(img_size) * img_size;
+  if (img.w == img_size && img.h == img_size) {
+    std::memcpy(out, img.data.data(), plane);
+  } else {
+    resize_bilinear(img, out, img_size);
+  }
+  meta[0] = img.w;
+  meta[1] = img.h;
+  return 1;
 }
 
 }  // extern "C"

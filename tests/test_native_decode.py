@@ -76,6 +76,39 @@ def test_native_flags_corrupt_color_and_16bit(png_dir):
     np.testing.assert_array_equal(out[2][..., None], want)
 
 
+def test_native_mem_matches_pil_preprocess(png_dir, tmp_path):
+    """The in-memory variant (serving path, csrc decode_resize_mem via
+    native_decode_mem) is PIL-bit-exact for grayscale PNG bytes and
+    returns None for everything the PIL fallback must handle (non-PNG,
+    corrupt, color, 16-bit)."""
+    from unet_tpu.data.cache import native_decode_mem
+
+    tmp, paths = png_dir
+    for p in paths:
+        dec = native_decode_mem(p.read_bytes(), 64)
+        assert dec is not None, 'native library should build in this env'
+        out, orig = dec
+        want, want_orig = preprocess_image(p, 64)
+        assert orig == want_orig
+        np.testing.assert_array_equal(out[..., None], want)
+
+    rng = np.random.default_rng(14)
+    from PIL import Image
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(
+        (rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            buf, format='PNG')
+    assert native_decode_mem(buf.getvalue(), 64) is None  # color
+    buf = io.BytesIO()
+    Image.fromarray(
+        (rng.random((32, 32)) * 65535).astype(np.uint16)).save(
+            buf, format='PNG')
+    assert native_decode_mem(buf.getvalue(), 64) is None  # 16-bit
+    assert native_decode_mem(b'\x89PNG\r\n\x1a\nnope', 64) is None
+    assert native_decode_mem(b'not a png at all', 64) is None
+
+
 def test_predict_cli_native_and_pil_paths_agree(png_dir, tmp_path):
     """The full predict CLI produces byte-identical masks with
     --no-native-decode and without it (mixed gray/rgb/corrupt source

@@ -201,6 +201,11 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
 
     from unet_tpu.ops.bitpack import unpack_masks_host
 
+    try:  # native request decode (csrc decode_resize_mem); PIL fallback
+        from unet_tpu.data.cache import native_decode_mem
+    except Exception:
+        native_decode_mem = None
+
     req_lock = threading.Lock()
     req_stats = {'requests': 0, 'errors': 0, 'latency_s': 0.0,
                  'latency_max_s': 0.0, 'started': time.monotonic()}
@@ -289,18 +294,29 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
             except ValueError:
                 self._send_json(400, {'error': 'bad threshold'})
                 return False
-            try:
-                img = Image.open(io.BytesIO(raw)).convert('L')
-            except Exception as e:
-                self._send_json(400, {'error': f'undecodable image: {e}'})
-                return False
-            orig_size = img.size  # (W, H)
-            if img.size != (img_size, img_size):
-                img = img.resize((img_size, img_size), Image.BILINEAR)
+            # grayscale PNG bodies decode+resize natively (threaded C++
+            # libpng, PIL-bit-exact — tests/test_native_decode.py);
+            # color/16-bit/non-PNG/corrupt bodies fall back to PIL,
+            # which also raises the user-facing 400 for corrupt input
+            dec = (native_decode_mem(raw, img_size)
+                   if native_decode_mem is not None else None)
+            if dec is not None:
+                x8, orig_size = dec  # (W, H)
+            else:
+                try:
+                    img = Image.open(io.BytesIO(raw)).convert('L')
+                except Exception as e:
+                    self._send_json(400,
+                                    {'error': f'undecodable image: {e}'})
+                    return False
+                orig_size = img.size  # (W, H)
+                if img.size != (img_size, img_size):
+                    img = img.resize((img_size, img_size), Image.BILINEAR)
+                x8 = np.asarray(img, np.uint8)
             # uint8 wire: the ref's /255 + (x-0.5)/0.5 normalization
             # (ref predict.py:100-135) runs on device (inputs within
             # 1 ULP); host->HBM ships 4x fewer bytes per request
-            x = np.asarray(img, np.uint8)[..., None]
+            x = x8[..., None]
             try:
                 packed = batcher.submit(x, threshold=thr)
             except Exception as e:

@@ -52,7 +52,7 @@ def _native_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(so))
     except OSError:
         lib = None
-    if lib is not None and not hasattr(lib, 'decode_resize_batch'):
+    if lib is not None and not hasattr(lib, 'decode_resize_mem'):
         # stale pre-r4 .so on disk: rebuild once and reload
         try:
             subprocess.run(['make', '-B', '-C', str(_CSRC)], check=True,
@@ -71,6 +71,10 @@ def _native_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int]
+        lib.decode_resize_mem.restype = ctypes.c_int
+        lib.decode_resize_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
     _LIB_CACHE.append(lib)
     return lib
 
@@ -116,6 +120,36 @@ def native_decode_batch(paths, img_size: int, num_threads: int = 0
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
     return out, meta
+
+
+_PNG_MAGIC = b'\x89PNG\r\n\x1a\n'
+
+
+def native_decode_mem(data: bytes, img_size: int
+                      ) -> Optional[Tuple[np.ndarray, Tuple[int, int]]]:
+    """Native in-memory PNG decode + PIL-bit-exact bilinear resize for
+    the serving path (csrc decode_resize_mem; one HTTP request body per
+    call). Returns ``(image (S, S) uint8, (orig_w, orig_h))``, or None
+    when the caller should use PIL instead: library unavailable, not a
+    PNG, corrupt, or a color/16-bit input whose PIL 8-bit reduction
+    libpng doesn't reproduce bit-exactly (same contract as
+    ``native_decode_batch``; the PIL path raises the user-facing error
+    for corrupt bodies)."""
+    if not data.startswith(_PNG_MAGIC):
+        return None
+    lib = _native_lib()
+    if lib is None:
+        return None
+    out = np.empty((img_size, img_size), np.uint8)
+    meta = np.empty(2, np.int32)
+    ok = lib.decode_resize_mem(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8)),
+        len(data), img_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if not ok:
+        return None
+    return out, (int(meta[0]), int(meta[1]))
 
 
 def _build_python(image_paths: List[str], label_paths: List[str],
