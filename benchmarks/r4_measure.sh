@@ -15,6 +15,10 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "=== $name rc=$rc" | tee -a "$OUT/summary.log"
   tail -3 "$OUT/$name.out" | tee -a "$OUT/summary.log"
   grep -E '^\{' "$OUT/$name.err" | tail -2 >> "$OUT/summary.log" || true
+  # settle between TPU processes: a timeout-killed client exits with
+  # dispatched work in flight, which can wedge the remote worker for
+  # 5-15 min (verify SKILL.md); don't let one bad step poison the rest
+  if [ "$rc" -eq 124 ]; then sleep 600; else sleep 20; fi
 }
 
 # 1. Baseline bench (train, train-aug, infer details on stderr)
