@@ -55,6 +55,13 @@ def parse_args():
                    help='synthetic dataset: number of volumes')
     p.add_argument('--synthetic-slices', type=int, default=4,
                    help='synthetic dataset: slices per volume')
+    p.add_argument('--synthetic-tumor-radius', type=str, default=None,
+                   metavar='MIN,MAX',
+                   help='synthetic dataset: tumor radius range as a '
+                        'fraction of img_size (default 0.02,0.05). At '
+                        'small img_size the default tumors are only a '
+                        'few px across; scale this up to keep absolute '
+                        'tumor size comparable to a 512px run')
     p.add_argument('--cache', type=str, default=None,
                    help='slice-cache blob path: built (natively) if '
                         'missing, then memory-mapped for zero-decode '
@@ -211,6 +218,10 @@ def main():
                          slices_per_volume=args.synthetic_slices,
                          img_size=img_size, seed=seed,
                          val_ratio=data_cfg.get('val_ratio', 0.2))
+        if args.synthetic_tumor_radius:
+            lo, hi = (float(v) for v in
+                      args.synthetic_tumor_radius.split(','))
+            ds_kwargs['tumor_radius'] = (lo, hi)
         train_ds = SyntheticSliceDataset(split='train', **ds_kwargs)
         val_ds = SyntheticSliceDataset(split='val', **ds_kwargs)
     elif getattr(args, 'cache', None) or data_cfg.get('cache'):
