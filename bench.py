@@ -352,25 +352,28 @@ def worker():
                 log(f'train b{batch} ablation failed: '
                     f'{type(e).__name__}: {str(e)[:160]}')
                 break
-    # 2) Pallas banded-warp aug. A Mosaic rejection just logs; a kernel
-    #    fault can wedge the remote worker, which is why this runs dead
-    #    last. Skipped when the flag is already set (the ablation run in
-    #    benchmarks/r4_measure.sh measured it above).
-    if (os.environ.get('UNET_TPU_PALLAS_WARP') != '1'
+    # 2) XLA-gather aug ablation. The Pallas banded warp is the TPU
+    #    default since r4 (the aug_sps above measures it); re-measuring
+    #    with the kernel off keeps the win visible round-over-round.
+    #    Runs dead last: kernel-path problems can wedge the remote
+    #    worker. Skipped when the user pinned the flag either way.
+    if (os.environ.get('UNET_TPU_PALLAS_WARP') is None
             and jax.default_backend() == 'tpu'):
         try:
-            os.environ['UNET_TPU_PALLAS_WARP'] = '1'
+            os.environ['UNET_TPU_PALLAS_WARP'] = '0'
             if hasattr(augment_batch, 'clear_cache'):
                 augment_batch.clear_cache()  # re-trace under the flag
-                aug_warp = bench_train_aug(8)
-                log(json.dumps({'train_aug_warp_slices_per_sec':
-                                round(aug_warp, 2)}))
+                aug_xla = bench_train_aug(8)
+                log(json.dumps({'train_aug_xla_gather_slices_per_sec':
+                                round(aug_xla, 2)}))
             else:
-                log('warp ablation skipped: augment_batch has no '
+                log('aug ablation skipped: augment_batch has no '
                     'clear_cache on this jax')
         except Exception as e:
-            log(f'warp-aug ablation failed: {type(e).__name__}: '
+            log(f'xla-gather aug ablation failed: {type(e).__name__}: '
                 f'{str(e)[:160]}')
+        finally:
+            del os.environ['UNET_TPU_PALLAS_WARP']
 
 
 # --------------------------------------------------------------------

@@ -46,10 +46,16 @@ Array = jax.Array
 
 
 def _pallas_warp_requested() -> bool:
-    """Opt-in gate for the Pallas banded warp kernel
-    (ops/pallas/warp.py). Read at trace time; default off until its
-    end-to-end TPU win is measured (house rule, docs/DESIGN.md)."""
-    return os.environ.get('UNET_TPU_PALLAS_WARP') == '1'
+    """Gate for the Pallas banded warp kernel (ops/pallas/warp.py).
+    Read at trace time. Default ON on TPU (measured r4: full aug
+    193 -> 58 ms per 32-image 512² super-batch, hardware-parity-checked
+    by benchmarks/warp_parity.py); off elsewhere (interpret mode is for
+    tests). UNET_TPU_PALLAS_WARP=0 forces the XLA gather path, =1
+    forces the kernel (interpret off-TPU)."""
+    from unet_tpu.core.setup import env_flag
+    import jax
+    return env_flag('UNET_TPU_PALLAS_WARP',
+                    jax.default_backend() == 'tpu')
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,10 +62,13 @@ def _take_lane(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _take_lane_tiled(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Fallback for hardware/lowerings that only accept single-vreg
-    (8, 128) dynamic_gather operands: decompose the (8, W) gather into
-    (W/128)² tile gathers + selects. Same result, ~4x the gather ops.
-    Enable with UNET_TPU_WARP_TILED_GATHER=1."""
+    """Tiled form for W > 128: decompose the (8, W) gather into (W/128)²
+    single-vreg tile gathers + selects. Same result, ~(W/128)x the
+    gather ops — and the ONLY form Mosaic compiles beyond one vreg:
+    `tpu.dynamic_gather` on a vector<8x512xf32> fails with
+    "Not implemented: Multiple source vregs along gather dimension"
+    (measured on v5e libtpu, r4), so this is the default whenever
+    W > 128. UNET_TPU_WARP_TILED_GATHER=1/0 forces it on/off."""
     br, w = x.shape
     outs = []
     for o in range(w // 128):
@@ -169,7 +172,8 @@ def grid_sample_fused_pallas(images: jnp.ndarray, masks: jnp.ndarray,
     n, h, w, _ = images.shape
     img2 = images[..., 0]
     mskf = masks.astype(jnp.float32)
-    tiled = os.environ.get('UNET_TPU_WARP_TILED_GATHER') == '1'
+    from unet_tpu.core.setup import env_flag
+    tiled = env_flag('UNET_TPU_WARP_TILED_GATHER', w > 128)
 
     out_img, out_msk = pl.pallas_call(
         functools.partial(_warp_body, h=h, w=w, tiled_gather=tiled),
