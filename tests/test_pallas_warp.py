@@ -112,6 +112,28 @@ def test_warp_supported_gate():
     assert not warp_supported(jnp.zeros((1, 32, 128, 3)))  # C != 1
 
 
+def test_batch_sharded_partitioning():
+    """Under a data-sharded mesh the kernel must (a) keep the outputs
+    batch-sharded — a pallas_call is an opaque custom call to the SPMD
+    partitioner, so without the custom_partitioning rule GSPMD would
+    all-gather the batch and run the full warp replicated on every
+    device — and (b) stay bit-identical to the unsharded call."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    rng, img, msk = _case('sharded', n=8)
+    rows = jnp.asarray(rng.uniform(-2, H + 2, (8, H, W)), jnp.float32)
+    cols = jnp.asarray(rng.uniform(-2, W + 2, (8, H, W)), jnp.float32)
+    want_i, want_m = jax.jit(grid_sample_fused_pallas)(img, msk, rows, cols)
+
+    mesh = Mesh(np.array(jax.devices()), ('data',))
+    sh = NamedSharding(mesh, P('data'))
+    args = [jax.device_put(a, sh) for a in (img, msk, rows, cols)]
+    got_i, got_m = jax.jit(grid_sample_fused_pallas)(*args)
+    assert got_i.sharding.spec == P('data'), got_i.sharding
+    assert got_m.sharding.spec == P('data'), got_m.sharding
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+
+
 def test_augment_batch_wiring_bit_equal(monkeypatch):
     """End-to-end augment_batch with the kernel enabled must equal the
     XLA path bit-for-bit (same key => same sampled transforms)."""

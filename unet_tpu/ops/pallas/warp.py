@@ -164,18 +164,11 @@ def warp_supported(images: jnp.ndarray) -> bool:
     return c == 1 and h % BR == 0 and w % 128 == 0 and h >= 2 and w >= 128
 
 
-def grid_sample_fused_pallas(images: jnp.ndarray, masks: jnp.ndarray,
-                             rows: jnp.ndarray, cols: jnp.ndarray):
-    """Drop-in replacement for augmentations._grid_sample_fused
-    (bit-identical outputs): images (N, H, W, 1) f32, masks (N, H, W)
-    int, rows/cols (N, H, W) f32 source coords."""
-    n, h, w, _ = images.shape
-    img2 = images[..., 0]
-    mskf = masks.astype(jnp.float32)
-    from unet_tpu.core.setup import env_flag
-    tiled = env_flag('UNET_TPU_WARP_TILED_GATHER', w > 128)
-
-    out_img, out_msk = pl.pallas_call(
+def _warp_pallas(img2: jnp.ndarray, mskf: jnp.ndarray,
+                 rows: jnp.ndarray, cols: jnp.ndarray, *, tiled: bool):
+    """The raw pallas_call on (N, H, W) f32 planes (local shapes)."""
+    n, h, w = img2.shape
+    return pl.pallas_call(
         functools.partial(_warp_body, h=h, w=w, tiled_gather=tiled),
         grid=(n, h // BR),
         in_specs=[
@@ -203,4 +196,67 @@ def grid_sample_fused_pallas(images: jnp.ndarray, masks: jnp.ndarray,
         ],
         interpret=jax.default_backend() != 'tpu',
     )(img2, mskf, rows, cols)
+
+
+def _batch_only_sharding(mesh, arg_shapes):
+    """NamedSharding keeping only the batch-dim axes of operand 0's
+    sharding (H/W replicated — the kernel owns whole rows/planes)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = getattr(arg_shapes[0].sharding, 'spec', None)
+    batch = spec[0] if spec is not None and len(spec) > 0 else None
+    return NamedSharding(mesh, PartitionSpec(batch))
+
+
+@functools.lru_cache(maxsize=None)
+def _warp_cp(tiled: bool):
+    """``custom_partitioning`` wrapper: a pallas_call is an opaque
+    custom call to the SPMD partitioner, so without this a
+    batch-sharded caller (the data-parallel train CLI's sharded
+    augmentation) would silently all-gather the super-batch and run the
+    FULL global warp replicated on every chip. The kernel is
+    embarrassingly parallel over images, so we declare batch-dim
+    partitioning (H/W replicated) and lower to the same pallas_call on
+    the local shard — per-image results are unchanged, so the sharded
+    program stays bit-identical to single-device (tested on the
+    8-device CPU mesh in tests/test_pallas_warp.py)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def fn(img2, mskf, rows, cols):
+        return _warp_pallas(img2, mskf, rows, cols, tiled=tiled)
+
+    cp = custom_partitioning(fn)
+
+    def infer(mesh, arg_shapes, result_shape):
+        ns = _batch_only_sharding(mesh, arg_shapes)
+        return (ns, ns)
+
+    def partition(mesh, arg_shapes, result_shape):
+        ns = _batch_only_sharding(mesh, arg_shapes)
+
+        def lower_fn(img2, mskf, rows, cols):
+            return _warp_pallas(img2, mskf, rows, cols, tiled=tiled)
+
+        return mesh, lower_fn, (ns, ns), (ns, ns, ns, ns)
+
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        # Shardy form of the same contract: n is free, h/w/images'
+        # pixels must be replicated
+        sharding_rule='n h w, n h w, n h w, n h w -> n h w, n h w',
+        need_replication_factors=('h', 'w'))
+    return cp
+
+
+def grid_sample_fused_pallas(images: jnp.ndarray, masks: jnp.ndarray,
+                             rows: jnp.ndarray, cols: jnp.ndarray):
+    """Drop-in replacement for augmentations._grid_sample_fused
+    (bit-identical outputs): images (N, H, W, 1) f32, masks (N, H, W)
+    int, rows/cols (N, H, W) f32 source coords."""
+    n, h, w, _ = images.shape
+    img2 = images[..., 0]
+    mskf = masks.astype(jnp.float32)
+    from unet_tpu.core.setup import env_flag
+    tiled = env_flag('UNET_TPU_WARP_TILED_GATHER', w > 128)
+    out_img, out_msk = _warp_cp(tiled)(img2, mskf, rows, cols)
     return out_img[..., None], out_msk.astype(masks.dtype)
