@@ -385,9 +385,14 @@ def create_server(weights, img_size=512, threshold=0.5, max_batch=8,
         # (N, H, ceil(W/8)) uint8 packed masks — thresholding on device
         return predict_step(params, stats, batch_np, thr_np)
 
-    # compile once, up front: the serving path never pays jit latency
-    predict(np.zeros((max_batch, img_size, img_size, 1), np.uint8),
-            np.full((max_batch,), 0.5, np.float32))
+    # compile once, up front: the serving path never pays jit latency.
+    # np.asarray forces a real readback sync — on the tunneled backend
+    # block_until_ready does not reliably await execution, and opening
+    # the socket with the warm dispatch still in flight would let the
+    # first requests race a possibly-unhealthy device
+    np.asarray(predict(
+        np.zeros((max_batch, img_size, img_size, 1), np.uint8),
+        np.full((max_batch,), 0.5, np.float32)))
 
     batcher = MicroBatcher(predict, max_batch, batch_window_ms / 1e3)
     health = {
