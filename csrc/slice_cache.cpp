@@ -33,6 +33,33 @@ struct Gray8 {
   int w = 0, h = 0;
 };
 
+// Decompression-bomb guard, matching the PIL fallback path: Pillow's
+// MAX_IMAGE_PIXELS is 89,478,485 and it raises DecompressionBombError
+// at 2x that. A ~120-byte PNG can declare a 10^6 x 10^6 IHDR; without
+// this cap the pixel-plane allocation below throws std::bad_alloc,
+// which must never escape (this code runs on the serving request path
+// behind ctypes — an uncaught exception aborts the whole process).
+constexpr uint64_t kMaxPixels = 2ull * 89478485ull;
+
+// Scratch row buffers owned by the frame that holds the libpng setjmp.
+// png_error longjmps PAST read_gray8_body's frame, skipping its
+// destructors — any heap the body needs must live up here so corrupt
+// input can't leak it.
+struct RowScratch {
+  std::vector<png_bytep> rows;
+  std::vector<uint8_t> row;
+};
+
+// libpng's default error handler prints to stderr before longjmp'ing;
+// on the serving path that lets any client spam the server log with
+// one corrupt upload per line. Capture the message instead (the
+// callers' *err strings surface it) and stay silent on warnings.
+void quiet_png_error(png_structp png, png_const_charp msg);
+void quiet_png_warning(png_structp png, png_const_charp msg) {
+  (void)png;
+  (void)msg;
+}
+
 // Shared decode body, called after png_read_info under the caller's
 // setjmp context. Registers only the transforms this image needs —
 // unconditional registration routes every row through libpng's
@@ -43,8 +70,16 @@ struct Gray8 {
 // 255). Callers that promise PIL bit-exactness (decode_resize_batch /
 // decode_resize_mem) must fall back to PIL for these.
 void read_gray8_body(png_structp png, png_infop info, Gray8* out,
-                     bool* needs_pil) {
+                     bool* needs_pil, RowScratch* scratch) {
   png_read_info(png, info);
+  {
+    uint64_t w = png_get_image_width(png, info);
+    uint64_t h = png_get_image_height(png, info);
+    if (w == 0 || h == 0 || w * h > kMaxPixels) {
+      // longjmps to the caller's setjmp before any pixel allocation
+      png_error(png, "image exceeds pixel limit (decompression bomb?)");
+    }
+  }
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
   bool is_color = color == PNG_COLOR_TYPE_RGB ||
@@ -70,17 +105,17 @@ void read_gray8_body(png_structp png, png_infop info, Gray8* out,
   out->data.assign(static_cast<size_t>(out->h) * out->w, 0);
   if (rowbytes == static_cast<size_t>(out->w)) {
     // gray8 fast path: decode rows straight into the output plane
-    std::vector<png_bytep> rows(out->h);
+    scratch->rows.assign(out->h, nullptr);
     for (int y = 0; y < out->h; ++y) {
-      rows[y] = out->data.data() + static_cast<size_t>(y) * out->w;
+      scratch->rows[y] = out->data.data() + static_cast<size_t>(y) * out->w;
     }
-    png_read_image(png, rows.data());
+    png_read_image(png, scratch->rows.data());
   } else {
-    std::vector<uint8_t> row(rowbytes);
+    scratch->row.assign(rowbytes, 0);
     for (int y = 0; y < out->h; ++y) {
-      png_read_row(png, row.data(), nullptr);
+      png_read_row(png, scratch->row.data(), nullptr);
       std::memcpy(out->data.data() + static_cast<size_t>(y) * out->w,
-                  row.data(), out->w);
+                  scratch->row.data(), out->w);
     }
   }
 }
@@ -94,7 +129,8 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err,
     return false;
   }
   png_structp png =
-      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                             quiet_png_error, quiet_png_warning);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
   if (!png || !info) {
     if (png) png_destroy_read_struct(&png, &info, nullptr);
@@ -102,6 +138,7 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err,
     *err = "libpng init failed";
     return false;
   }
+  RowScratch scratch;  // owned here: png_error longjmps past the body
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -109,7 +146,14 @@ bool decode_png_gray(const char* path, Gray8* out, std::string* err,
     return false;
   }
   png_init_io(png, fp);
-  read_gray8_body(png, info, out, needs_pil);
+  try {
+    read_gray8_body(png, info, out, needs_pil, &scratch);
+  } catch (...) {
+    // bad_alloc etc. — free the raw libpng structs before unwinding
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    throw;
+  }
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);
   return true;
@@ -134,13 +178,15 @@ void mem_read_fn(png_structp png, png_bytep dst, png_size_t n) {
 bool decode_png_gray_mem(const uint8_t* data, size_t len, Gray8* out,
                          std::string* err, bool* needs_pil = nullptr) {
   png_structp png =
-      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                             quiet_png_error, quiet_png_warning);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
   if (!png || !info) {
     if (png) png_destroy_read_struct(&png, &info, nullptr);
     *err = "libpng init failed";
     return false;
   }
+  RowScratch scratch;  // owned here: png_error longjmps past the body
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     *err = "png decode error in memory buffer";
@@ -148,7 +194,13 @@ bool decode_png_gray_mem(const uint8_t* data, size_t len, Gray8* out,
   }
   MemSource src{data, len};
   png_set_read_fn(png, &src, mem_read_fn);
-  read_gray8_body(png, info, out, needs_pil);
+  try {
+    read_gray8_body(png, info, out, needs_pil, &scratch);
+  } catch (...) {
+    // bad_alloc etc. — free the raw libpng structs before unwinding
+    png_destroy_read_struct(&png, &info, nullptr);
+    throw;
+  }
   png_destroy_read_struct(&png, &info, nullptr);
   return true;
 }
@@ -284,6 +336,31 @@ void set_error(const std::string& e) {
   std::snprintf(g_error, sizeof(g_error), "%s", e.c_str());
 }
 
+void quiet_png_error(png_structp png, png_const_charp msg) {
+  set_error(std::string("libpng: ") + (msg ? msg : "unknown error"));
+  png_longjmp(png, 1);  // must not return
+}
+
+// Convert any escaping C++ exception (std::bad_alloc from a
+// huge-but-under-cap input, OOM in the resize scratch, ...) to the
+// C-ABI error contract. An exception crossing a std::thread start
+// function or the extern-C/ctypes boundary calls std::terminate and
+// aborts the embedding Python process — on the serving path that means
+// one bad request kills the server.
+template <typename F>
+bool run_guarded(const char* where, F&& f) {
+  try {
+    f();
+    return true;
+  } catch (const std::exception& e) {
+    set_error(std::string(where) + ": " + e.what());
+    return false;
+  } catch (...) {
+    set_error(std::string(where) + ": unknown C++ exception");
+    return false;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -294,14 +371,14 @@ const char* slice_cache_last_error() { return g_error; }
 // Returns 0 on success.
 int build_slice_cache(const char** image_paths, const char** label_paths,
                       int n, int img_size, const char* out_path,
-                      int num_threads) {
+                      int num_threads) try {
   const size_t plane = static_cast<size_t>(img_size) * img_size;
   std::vector<uint8_t> images(static_cast<size_t>(n) * plane);
   std::vector<uint8_t> masks(static_cast<size_t>(n) * plane);
   std::atomic<int> next{0};
   std::atomic<bool> failed{false};
 
-  auto worker = [&]() {
+  auto worker_inner = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n || failed.load()) return;
@@ -327,6 +404,11 @@ int build_slice_cache(const char** image_paths, const char** label_paths,
       }
       // binarize mask (>127 like ref dataset.py:150)
       for (size_t k = 0; k < plane; ++k) mp[k] = mp[k] > 127 ? 1 : 0;
+    }
+  };
+  auto worker = [&]() noexcept {
+    if (!run_guarded("native cache worker", worker_inner)) {
+      failed.store(true);
     }
   };
 
@@ -357,6 +439,12 @@ int build_slice_cache(const char** image_paths, const char** label_paths,
     return 3;
   }
   return 0;
+} catch (const std::exception& e) {
+  set_error(std::string("build_slice_cache: ") + e.what());
+  return 4;
+} catch (...) {
+  set_error("build_slice_cache: unknown C++ exception");
+  return 4;
 }
 
 // Inference decode stage (unet_tpu/cli/predict.py): decode n PNGs to
@@ -372,37 +460,43 @@ int build_slice_cache(const char** image_paths, const char** label_paths,
 // Multithreaded like build_slice_cache. Returns the number of images
 // decoded natively.
 int decode_resize_batch(const char** image_paths, int n, int img_size,
-                        uint8_t* out, int32_t* meta, int num_threads) {
+                        uint8_t* out, int32_t* meta, int num_threads) try {
   const size_t plane = static_cast<size_t>(img_size) * img_size;
   std::atomic<int> next{0};
   std::atomic<int> ok_count{0};
+  // pre-mark every slot failed: a per-item exception below leaves the
+  // slot in the documented "decode error, retry via PIL" state
+  for (int i = 0; i < n; ++i) {
+    meta[2 * i] = -1;
+    meta[2 * i + 1] = 0;
+  }
 
-  auto worker = [&]() {
+  auto decode_one = [&](int i) {
+    Gray8 img;
+    std::string err;
+    bool needs_pil = false;
+    if (!decode_png_gray(image_paths[i], &img, &err, &needs_pil)) {
+      return;  // slot stays -1
+    }
+    if (needs_pil) {
+      meta[2 * i] = -2;
+      return;
+    }
+    uint8_t* dst = out + static_cast<size_t>(i) * plane;
+    if (img.w == img_size && img.h == img_size) {
+      std::memcpy(dst, img.data.data(), plane);
+    } else {
+      resize_bilinear(img, dst, img_size);
+    }
+    meta[2 * i] = img.w;
+    meta[2 * i + 1] = img.h;
+    ok_count.fetch_add(1);
+  };
+  auto worker = [&]() noexcept {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      Gray8 img;
-      std::string err;
-      bool needs_pil = false;
-      if (!decode_png_gray(image_paths[i], &img, &err, &needs_pil)) {
-        meta[2 * i] = -1;
-        meta[2 * i + 1] = 0;
-        continue;
-      }
-      if (needs_pil) {
-        meta[2 * i] = -2;
-        meta[2 * i + 1] = 0;
-        continue;
-      }
-      uint8_t* dst = out + static_cast<size_t>(i) * plane;
-      if (img.w == img_size && img.h == img_size) {
-        std::memcpy(dst, img.data.data(), plane);
-      } else {
-        resize_bilinear(img, dst, img_size);
-      }
-      meta[2 * i] = img.w;
-      meta[2 * i + 1] = img.h;
-      ok_count.fetch_add(1);
+      run_guarded("native decode worker", [&] { decode_one(i); });
     }
   };
 
@@ -414,6 +508,12 @@ int decode_resize_batch(const char** image_paths, int n, int img_size,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return ok_count.load();
+} catch (const std::exception& e) {
+  set_error(std::string("decode_resize_batch: ") + e.what());
+  return 0;
+} catch (...) {
+  set_error("decode_resize_batch: unknown C++ exception");
+  return 0;
 }
 
 // Serving decode stage (unet_tpu/cli/serve.py): decode ONE in-memory
@@ -424,7 +524,7 @@ int decode_resize_batch(const char** image_paths, int n, int img_size,
 // -1 (decode error) or -2 (color/16-bit input — caller falls back to
 // PIL, see read_gray8_body) with 0 returned.
 int decode_resize_mem(const uint8_t* data, int64_t len, int img_size,
-                      uint8_t* out, int32_t* meta) {
+                      uint8_t* out, int32_t* meta) try {
   Gray8 img;
   std::string err;
   bool needs_pil = false;
@@ -449,6 +549,16 @@ int decode_resize_mem(const uint8_t* data, int64_t len, int img_size,
   meta[0] = img.w;
   meta[1] = img.h;
   return 1;
+} catch (const std::exception& e) {
+  set_error(std::string("decode_resize_mem: ") + e.what());
+  meta[0] = -1;
+  meta[1] = 0;
+  return 0;
+} catch (...) {
+  set_error("decode_resize_mem: unknown C++ exception");
+  meta[0] = -1;
+  meta[1] = 0;
+  return 0;
 }
 
 }  // extern "C"

@@ -227,6 +227,14 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
 
         def _send(self, code, body: bytes, ctype='application/json',
                   headers=()):
+            # Commit request stats BEFORE the first response byte: a
+            # client that has received this response (and immediately
+            # polls /metrics on another connection) must never observe
+            # counters missing it — recording in a post-response
+            # finally races with the client's next request.
+            if getattr(self, '_stats_t0', None) is not None:
+                record_request(self._stats_t0, code < 400)
+                self._stats_t0 = None
             self.send_response(code)
             self.send_header('Content-Type', ctype)
             self.send_header('Content-Length', str(len(body)))
@@ -268,12 +276,15 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                 self._send_json(404, {'error': 'not found'})
 
         def do_POST(self):
-            t0 = time.monotonic()
-            ok = False
+            self._stats_t0 = time.monotonic()
             try:
-                ok = self._handle_predict()
+                self._handle_predict()
             finally:
-                record_request(t0, ok)
+                if self._stats_t0 is not None:
+                    # handler died before responding (connection will
+                    # be dropped without a reply) — count it as an error
+                    record_request(self._stats_t0, False)
+                    self._stats_t0 = None
 
         def _handle_predict(self) -> bool:
             url = urlparse(self.path)
