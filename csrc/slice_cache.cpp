@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -331,13 +332,25 @@ void resize_nearest(const Gray8& src, uint8_t* dst, int size) {
 }
 
 char g_error[1024];
+// set_error runs concurrently from decode worker threads
+// (decode_resize_batch / build_slice_cache); without the lock,
+// simultaneous failures interleave snprintf's into the shared buffer
+// and garble slice_cache_last_error() output.
+std::mutex g_error_mu;
 
-void set_error(const std::string& e) {
-  std::snprintf(g_error, sizeof(g_error), "%s", e.c_str());
+void set_error_parts(const char* a, const char* b) {
+  std::lock_guard<std::mutex> lock(g_error_mu);
+  std::snprintf(g_error, sizeof(g_error), "%s%s", a, b ? b : "");
 }
 
+void set_error(const std::string& e) { set_error_parts(e.c_str(), ""); }
+
 void quiet_png_error(png_structp png, png_const_charp msg) {
-  set_error(std::string("libpng: ") + (msg ? msg : "unknown error"));
+  // Allocation-free on purpose: this is a libpng error callback, and a
+  // std::string built here could throw bad_alloc under the same memory
+  // pressure that triggered the error — an exception unwinding through
+  // libpng's C frames before png_longjmp is undefined behavior.
+  set_error_parts("libpng: ", msg ? msg : "unknown error");
   png_longjmp(png, 1);  // must not return
 }
 
@@ -359,6 +372,27 @@ bool run_guarded(const char* where, F&& f) {
     set_error(std::string(where) + ": unknown C++ exception");
     return false;
   }
+}
+
+// Spawn nt copies of worker and join them all, exception-safely: if a
+// std::thread construction throws partway through (resource limit),
+// the already-started threads are joined BEFORE the exception
+// propagates — unwinding a vector of joinable std::threads calls
+// std::terminate, and the callers' function-try-blocks only run after
+// locals are destroyed, so they cannot cover that path themselves.
+// Workers are noexcept and exit on their own (they drain a shared
+// atomic counter past n), so the rescue join cannot deadlock.
+template <typename F>
+void run_workers(int nt, F&& worker) {
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  try {
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  } catch (...) {
+    for (auto& t : threads) t.join();
+    throw;  // reported by the caller's function-level handler
+  }
+  for (auto& t : threads) t.join();
 }
 
 }  // namespace
@@ -415,9 +449,7 @@ int build_slice_cache(const char** image_paths, const char** label_paths,
   int nt = num_threads > 0 ? num_threads
                            : static_cast<int>(std::thread::hardware_concurrency());
   if (nt < 1) nt = 1;
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
+  run_workers(nt, worker);
   if (failed.load()) return 1;
 
   FILE* fp = std::fopen(out_path, "wb");
@@ -504,9 +536,7 @@ int decode_resize_batch(const char** image_paths, int n, int img_size,
                            : static_cast<int>(std::thread::hardware_concurrency());
   if (nt < 1) nt = 1;
   if (nt > n) nt = n;
-  std::vector<std::thread> threads;
-  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
+  run_workers(nt, worker);
   return ok_count.load();
 } catch (const std::exception& e) {
   set_error(std::string("decode_resize_batch: ") + e.what());

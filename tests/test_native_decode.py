@@ -174,3 +174,42 @@ def test_predict_cli_native_and_pil_paths_agree(png_dir, tmp_path):
         a = (tmp_path / 'nat' / name).read_bytes()
         b = (tmp_path / 'pil' / name).read_bytes()
         assert a == b, f'{name} differs between native and PIL decode'
+
+
+def _bomb_png_bytes():
+    """A ~45-byte PNG whose IHDR declares 10^6 x 10^6 pixels — the
+    classic decompression bomb. Valid signature + CRC so libpng gets as
+    far as the IHDR before the pixel cap fires."""
+    import struct
+    import zlib
+    sig = b'\x89PNG\r\n\x1a\n'
+    ihdr = struct.pack('>IIBBBBB', 1_000_000, 1_000_000, 8, 0, 0, 0, 0)
+    chunk = b'IHDR' + ihdr
+    return (sig + struct.pack('>I', len(ihdr)) + chunk
+            + struct.pack('>I', zlib.crc32(chunk)))
+
+
+def test_native_rejects_decompression_bomb(png_dir, tmp_path):
+    """A tiny PNG declaring huge dimensions must NOT allocate the pixel
+    plane: the IHDR cap (csrc kMaxPixels, matching Pillow's
+    DecompressionBombError threshold) converts it to the graceful
+    meta=-1 / None fallback instead of a bad_alloc abort — this code
+    runs on the serving request path behind ctypes."""
+    from unet_tpu.data.cache import native_decode_mem
+
+    bomb = tmp_path / 'bomb.png'
+    bomb.write_bytes(_bomb_png_bytes())
+    tmp, paths = png_dir
+    out, meta = native_decode_batch([bomb, paths[0]], 64, num_threads=1)
+    assert meta[0, 0] == -1  # rejected, caller falls back to PIL
+    # the good row in the same batch still decodes
+    want, orig = preprocess_image(paths[0], 64)
+    assert (int(meta[1, 0]), int(meta[1, 1])) == orig
+    np.testing.assert_array_equal(out[1][..., None], want)
+    # in-memory (serving) variant: graceful None, no abort
+    assert native_decode_mem(_bomb_png_bytes(), 64) is None
+    # and the PIL fallback agrees it is unloadable (DecompressionBomb)
+    from PIL import Image
+    import io
+    with pytest.raises(Exception):
+        Image.open(io.BytesIO(_bomb_png_bytes())).convert('L')

@@ -357,3 +357,20 @@ def test_serve_metrics_endpoint(server_url):
     assert sum(k * c for k, c in enumerate(b['fill'])) == b['rows_real']
     assert b['mean_device_ms'] > 0
     assert 0.0 <= b['pad_fraction'] <= 1.0
+
+
+def test_serve_metrics_commit_before_response(server_url):
+    """A request's counters commit BEFORE its first response byte
+    (serve.py _send): a client that has received its response and then
+    polls /metrics must observe requests_total including it. GETs are
+    not counted, so the delta across one POST is exactly 1."""
+    addr, _ = server_url
+    before = json.loads(_request(addr, 'GET', '/metrics')[2])
+    rng = np.random.default_rng(9)
+    body = _png_bytes((rng.random((IMG, IMG)) * 255).astype(np.uint8))
+    status, _, _ = _request(addr, 'POST', '/predict?format=json',
+                            body=body)
+    assert status == 200
+    after = json.loads(_request(addr, 'GET', '/metrics')[2])
+    assert after['requests_total'] == before['requests_total'] + 1
+    assert after['request_errors_total'] == before['request_errors_total']

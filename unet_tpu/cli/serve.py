@@ -30,7 +30,15 @@ API:
                               batcher's dispatch/fill-histogram/padding/
                               device-time counters (the numbers that
                               tell an operator whether --batch-window-ms
-                              is aggregating batch-1 clients)
+                              is aggregating batch-1 clients).
+                              Accounting tradeoff: a request's counters
+                              commit just BEFORE its first response byte
+                              (so a responded client can never observe
+                              /metrics missing its own request), which
+                              means latency excludes response
+                              transmission, and a body write that fails
+                              mid-send (client disconnected) still
+                              counts as a success.
   POST /predict            -> body: PNG/JPEG bytes; response: PNG mask
                               (uint8 {0,255}, original size) with
                               X-Tumor-Coverage / X-Tumor-Pixels headers
@@ -286,25 +294,25 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                     record_request(self._stats_t0, False)
                     self._stats_t0 = None
 
-        def _handle_predict(self) -> bool:
+        def _handle_predict(self):
             url = urlparse(self.path)
             if url.path != '/predict':
                 self._send_json(404, {'error': 'not found'})
-                return False
+                return
             q = parse_qs(url.query)
             length = int(self.headers.get('Content-Length') or 0)
             if length <= 0:
                 self._send_json(400, {'error': 'empty body'})
-                return False
+                return
             if length > 64 << 20:
                 self._send_json(413, {'error': 'body too large'})
-                return False
+                return
             raw = self.rfile.read(length)  # drain BEFORE any 4xx reply
             try:
                 thr = float(q.get('threshold', [default_threshold])[0])
             except ValueError:
                 self._send_json(400, {'error': 'bad threshold'})
-                return False
+                return
             # grayscale PNG bodies decode+resize natively (threaded C++
             # libpng, PIL-bit-exact — tests/test_native_decode.py);
             # color/16-bit/non-PNG/corrupt bodies fall back to PIL,
@@ -319,7 +327,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                 except Exception as e:
                     self._send_json(400,
                                     {'error': f'undecodable image: {e}'})
-                    return False
+                    return
                 orig_size = img.size  # (W, H)
                 if img.size != (img_size, img_size):
                     img = img.resize((img_size, img_size), Image.BILINEAR)
@@ -332,7 +340,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                 packed = batcher.submit(x, threshold=thr)
             except Exception as e:
                 self._send_json(500, {'error': f'{type(e).__name__}: {e}'})
-                return False
+                return
             # thresholding already ran on device (f32 `>` as before);
             # only 1 bit/px crossed the link
             mask = unpack_masks_host(packed, img_size) * np.uint8(255)
@@ -350,7 +358,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
                     'height': int(orig_size[1]),
                     'threshold': thr,
                 })
-                return True
+                return
             buf = io.BytesIO()
             # zlib level 1: lossless, 2-4x faster encode than the
             # default — encode time is response latency here
@@ -358,7 +366,7 @@ def _make_handler(batcher: MicroBatcher, img_size: int,
             self._send(200, buf.getvalue(), ctype='image/png',
                        headers=(('X-Tumor-Pixels', str(tumor_px)),
                                 ('X-Tumor-Coverage', f'{coverage:.6f}')))
-            return True
+            return
 
     return Handler
 
