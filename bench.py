@@ -343,14 +343,27 @@ def worker():
             and os.environ.get('UNET_TPU_PALLAS_WARP') != '1'
             and jax.default_backend() == 'tpu' and train_sps > 0):
         for batch in (16, 32):
-            try:
-                b_sps, b_ms = bench_train(batch)
-                log(json.dumps({f'train_b{batch}_slices_per_sec':
-                                round(b_sps, 2),
-                                f'ms_per_step_b{batch}': round(b_ms, 1)}))
-            except Exception as e:  # OOM at 512^2 is plausible; record
-                log(f'train b{batch} ablation failed: '
-                    f'{type(e).__name__}: {str(e)[:160]}')
+            # one retry per size: the r4 b32 run died with a relay-side
+            # remote-compile HTTP 500 that was never triaged — a retry
+            # distinguishes relay flake (second attempt compiles fine)
+            # from a real XLA/HBM ceiling (fails identically twice,
+            # worth documenting as the memory envelope)
+            ok = False
+            for attempt in (1, 2):
+                try:
+                    b_sps, b_ms = bench_train(batch)
+                    log(json.dumps(
+                        {f'train_b{batch}_slices_per_sec': round(b_sps, 2),
+                         f'ms_per_step_b{batch}': round(b_ms, 1)}))
+                    ok = True
+                    break
+                except Exception as e:  # OOM at 512^2 is plausible
+                    log(f'train b{batch} ablation failed '
+                        f'(attempt {attempt}/2): '
+                        f'{type(e).__name__}: {str(e)[:160]}')
+                    if attempt == 1:
+                        time.sleep(20)  # let the relay settle
+            if not ok:
                 break
     # 2) XLA-gather aug ablation. The Pallas banded warp is the TPU
     #    default since r4 (the aug_sps above measures it); re-measuring

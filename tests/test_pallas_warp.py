@@ -105,6 +105,48 @@ def test_tiled_gather_fallback(monkeypatch):
     _check(img, msk, rows, cols)
 
 
+def test_banded2d_body(monkeypatch):
+    """The r5 2D-banded body (default whenever tiling is on) must stay
+    bit-identical to BOTH the unwindowed tiled form and the XLA
+    reference, including worst-case scattered coords where every lane
+    group's windows degrade to the full range, at a width (256) that
+    actually has multiple column tiles."""
+    w = 256
+    rng, img, msk = _case('colwin', h=16, w=w)
+    for name, span in (('coherent', 20.0), ('scattered', None)):
+        if span is None:
+            rows = jnp.asarray(rng.uniform(-4, 16 + 4, (2, 16, w)),
+                               jnp.float32)
+            cols = jnp.asarray(rng.uniform(-4, w + 4, (2, 16, w)),
+                               jnp.float32)
+        else:
+            # bounded displacement, like the real augmentation program
+            rr = jnp.broadcast_to(
+                jnp.arange(16, dtype=jnp.float32)[None, :, None],
+                (2, 16, w))
+            cc = jnp.broadcast_to(
+                jnp.arange(w, dtype=jnp.float32)[None, None, :],
+                (2, 16, w))
+            rows = rr + jnp.asarray(
+                rng.uniform(-span, span, (2, 16, w)), jnp.float32)
+            cols = cc + jnp.asarray(
+                rng.uniform(-span, span, (2, 16, w)), jnp.float32)
+        monkeypatch.setenv('UNET_TPU_WARP_BAND2D', '0')
+        plain_i, plain_m = grid_sample_fused_pallas(img, msk, rows, cols)
+        monkeypatch.setenv('UNET_TPU_WARP_BAND2D', '1')
+        win_i, win_m = grid_sample_fused_pallas(img, msk, rows, cols)
+        # windowed vs unwindowed: same taps minus provably-dead ones.
+        # MASKS are bit-identical (integer selects); images carry the
+        # usual <=2 ULP compiler-contraction freedom in the final lerp
+        # (the two bodies compile as different graphs)
+        _assert_ulp_close(np.asarray(win_i)[..., 0],
+                          np.asarray(plain_i)[..., 0])
+        np.testing.assert_array_equal(np.asarray(win_m),
+                                      np.asarray(plain_m), err_msg=name)
+        # and both match the XLA fused warp under the usual contract
+        _check(img, msk, rows, cols)
+
+
 def test_warp_supported_gate():
     assert warp_supported(jnp.zeros((1, 32, 128, 1)))
     assert not warp_supported(jnp.zeros((1, 32, 64, 1)))   # W % 128

@@ -84,6 +84,128 @@ def _take_lane_tiled(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=1)
 
 
+def _warp_body_banded2d(img_ref, msk_ref, rows_ref, cols_ref, oimg_ref,
+                        omsk_ref, *, h: int, w: int):
+    """2D-banded variant (the r5 rework of the tiled form): the output
+    block is processed per 128-lane GROUP, and each group carries its
+    own source-ROW window *and* source-column-TILE window.
+
+    Why per group: the default body's row window spans the whole (8, w)
+    block, so a 15° rotation smears it over ~w·sin15° source rows and
+    ~w/8·sin15° chunks; restricted to 128 output lanes the smear is
+    128·sin15° ≈ 33 rows. Likewise a lane group's c0 spans ~128·cos θ +
+    wobble columns — 2 of the w/128 column tiles, not all of them. Both
+    windows are exact (min/max of the group's clamped r0/c0; c1 = c0+1
+    folded into the hi bound), so skipped (chunk, tile) pairs provably
+    contribute nothing: masks stay bit-identical to the unwindowed
+    tiled form and images agree to the usual <=2 f32 ULP contraction
+    freedom (golden-locked in tests/test_pallas_warp.py).
+
+    The `lax.cond`s sit at (group, chunk) and (group, chunk, tile)
+    granularity — OUTSIDE the 8-row tap loop — because Mosaic runs the
+    straight-line gather/select chain near VPU issue rate and per-row
+    branching destroys that pipelining (a per-row-cond variant was
+    measured 1.75x SLOWER than no windowing at all; docs/DESIGN.md).
+
+    Mask taps collapse to ONE gather: the nearest-neighbor row/col
+    choice (round-half-even on wr/wc — identical expressions to
+    `_grid_sample_fused`) is resolved to integer source coords
+    (rn, cn) up front, so each source row contributes `msk[rn, cn]`
+    directly instead of four corner taps + selects — 3 dynamic_gathers
+    per source row instead of 4, and 2 fewer select chains.
+    """
+    r = rows_ref[0]                                   # (BR, w) f32
+    c = cols_ref[0]
+    valid = (r >= 0) & (r <= h - 1) & (c >= 0) & (c <= w - 1)
+    rc = jnp.clip(r, 0.0, h - 1.0)
+    cc = jnp.clip(c, 0.0, w - 1.0)
+    r0 = jnp.minimum(jnp.floor(rc).astype(jnp.int32), h - 2)
+    c0 = jnp.minimum(jnp.floor(cc).astype(jnp.int32), w - 2)
+    wr = rc - r0                                      # f32 - int promotes
+    wc = cc - c0
+    # nearest-neighbor mask source coords, same tie rule as the XLA path
+    ri = (wr > 0.5) | ((wr == 0.5) & (r0 % 2 == 1))
+    ci = (wc > 0.5) | ((wc == 0.5) & (c0 % 2 == 1))
+    rn = r0 + ri.astype(jnp.int32)                    # in [0, h-1]
+    cn = c0 + ci.astype(jnp.int32)                    # in [0, w-1]
+    nt = w // 128
+
+    for o in range(nt):
+        sl = slice(o * 128, (o + 1) * 128)
+        r0o, i0 = r0[:, sl], c0[:, sl]
+        i1 = i0 + 1
+        rno, ino = rn[:, sl], cn[:, sl]
+        lo = jnp.min(r0o)
+        hi = jnp.max(r0o) + 1                         # covers r0+1 and rn
+        lot = jnp.min(i0) // 128
+        hit_t = (jnp.max(i0) + 1) // 128              # covers c1 and cn
+        zero = jnp.zeros((BR, 128), jnp.float32)
+        carry0 = (zero,) * 5                          # t00 t01 t10 t11 m
+
+        def chunk(kb, acc, r0o=r0o, i0=i0, i1=i1, rno=rno, ino=ino,
+                  lot=lot, hit_t=hit_t):
+            irows = img_ref[0, pl.ds(kb * 8, 8), :]   # (8, w)
+            mrows = msk_ref[0, pl.ds(kb * 8, 8), :]
+            # row-hit compares are tile-invariant: once per chunk
+            hits = []
+            for s in range(8):
+                k_abs = kb * 8 + s
+                hits.append((r0o == k_abs, r0o + 1 == k_abs,
+                             rno == k_abs))
+            for t in range(nt):
+                def col_hit(a, t=t):
+                    srci = irows[:, t * 128:(t + 1) * 128]
+                    srcm = mrows[:, t * 128:(t + 1) * 128]
+                    # index arithmetic is row-invariant: once per tile
+                    rel0 = i0 - t * 128
+                    rel1 = i1 - t * 128
+                    reln = ino - t * 128
+                    q0 = jnp.clip(rel0, 0, 127)
+                    q1 = jnp.clip(rel1, 0, 127)
+                    qn = jnp.clip(reln, 0, 127)
+                    h0 = (rel0 >= 0) & (rel0 < 128)
+                    h1 = (rel1 >= 0) & (rel1 < 128)
+                    hn = (reln >= 0) & (reln < 128)
+                    t00, t01, t10, t11, m = a
+                    for s in range(8):
+                        si = jnp.broadcast_to(srci[s:s + 1, :],
+                                              (BR, 128))
+                        sm = jnp.broadcast_to(srcm[s:s + 1, :],
+                                              (BR, 128))
+                        g0 = _take_lane(si, q0)
+                        g1 = _take_lane(si, q1)
+                        gm = _take_lane(sm, qn)
+                        hit0, hit1, hitn = hits[s]
+                        t00 = jnp.where(hit0 & h0, g0, t00)
+                        t01 = jnp.where(hit0 & h1, g1, t01)
+                        t10 = jnp.where(hit1 & h0, g0, t10)
+                        t11 = jnp.where(hit1 & h1, g1, t11)
+                        m = jnp.where(hitn & hn, gm, m)
+                    return t00, t01, t10, t11, m
+
+                acc = jax.lax.cond((t >= lot) & (t <= hit_t),
+                                   col_hit, lambda a: a, acc)
+            return acc
+
+        # dynamic-bounds loop over ONLY the touched chunks: the group's
+        # source rows live in [lo, hi], i.e. chunks [lo//8, hi//8] —
+        # ~4-5 of the h/8 for the real augmentation program — so the
+        # h/8-iteration loop with a per-chunk skip cond is replaced by
+        # a short data-dependent while loop with no dead iterations.
+        t00, t01, t10, t11, m = jax.lax.fori_loop(
+            lo // 8, hi // 8 + 1, chunk, carry0)
+
+        wro, wco = wr[:, sl], wc[:, sl]
+        vo = valid[:, sl]
+        # same multiply/add association as _grid_sample_fused
+        img = (t00 * (1 - wro) * (1 - wco)
+               + t01 * (1 - wro) * wco
+               + t10 * wro * (1 - wco)
+               + t11 * wro * wco)
+        oimg_ref[0, :, sl] = img * vo.astype(img.dtype)
+        omsk_ref[0, :, sl] = jnp.where(vo, m, 0.0).astype(jnp.int32)
+
+
 def _warp_body(img_ref, msk_ref, rows_ref, cols_ref, oimg_ref, omsk_ref,
                *, h: int, w: int, tiled_gather: bool):
     gather = _take_lane_tiled if tiled_gather else _take_lane
@@ -165,11 +287,15 @@ def warp_supported(images: jnp.ndarray) -> bool:
 
 
 def _warp_pallas(img2: jnp.ndarray, mskf: jnp.ndarray,
-                 rows: jnp.ndarray, cols: jnp.ndarray, *, tiled: bool):
+                 rows: jnp.ndarray, cols: jnp.ndarray, *, tiled: bool,
+                 banded2d: bool):
     """The raw pallas_call on (N, H, W) f32 planes (local shapes)."""
     n, h, w = img2.shape
+    body = (functools.partial(_warp_body_banded2d, h=h, w=w) if banded2d
+            else functools.partial(_warp_body, h=h, w=w,
+                                   tiled_gather=tiled))
     return pl.pallas_call(
-        functools.partial(_warp_body, h=h, w=w, tiled_gather=tiled),
+        body,
         grid=(n, h // BR),
         in_specs=[
             # full image/mask planes resident in VMEM per grid step; the
@@ -208,7 +334,7 @@ def _batch_only_sharding(mesh, arg_shapes):
 
 
 @functools.lru_cache(maxsize=None)
-def _warp_cp(tiled: bool):
+def _warp_cp(tiled: bool, banded2d: bool):
     """``custom_partitioning`` wrapper: a pallas_call is an opaque
     custom call to the SPMD partitioner, so without this a
     batch-sharded caller (the data-parallel train CLI's sharded
@@ -222,7 +348,8 @@ def _warp_cp(tiled: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def fn(img2, mskf, rows, cols):
-        return _warp_pallas(img2, mskf, rows, cols, tiled=tiled)
+        return _warp_pallas(img2, mskf, rows, cols, tiled=tiled,
+                            banded2d=banded2d)
 
     cp = custom_partitioning(fn)
 
@@ -234,7 +361,8 @@ def _warp_cp(tiled: bool):
         ns = _batch_only_sharding(mesh, arg_shapes)
 
         def lower_fn(img2, mskf, rows, cols):
-            return _warp_pallas(img2, mskf, rows, cols, tiled=tiled)
+            return _warp_pallas(img2, mskf, rows, cols, tiled=tiled,
+                                banded2d=banded2d)
 
         return mesh, lower_fn, (ns, ns), (ns, ns, ns, ns)
 
@@ -258,5 +386,10 @@ def grid_sample_fused_pallas(images: jnp.ndarray, masks: jnp.ndarray,
     mskf = masks.astype(jnp.float32)
     from unet_tpu.core.setup import env_flag
     tiled = env_flag('UNET_TPU_WARP_TILED_GATHER', w > 128)
-    out_img, out_msk = _warp_cp(tiled)(img2, mskf, rows, cols)
+    # 2D-banded body: per-lane-group row+column-tile windows (exact,
+    # bit-identical to the tiled form; see _warp_body_banded2d).
+    # Default-on wherever tiling applies — measured r5 on TPU.
+    # UNET_TPU_WARP_BAND2D=0 ablates back to the unwindowed tiled body.
+    banded2d = tiled and env_flag('UNET_TPU_WARP_BAND2D', True)
+    out_img, out_msk = _warp_cp(tiled, banded2d)(img2, mskf, rows, cols)
     return out_img[..., None], out_msk.astype(masks.dtype)
