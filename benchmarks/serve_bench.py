@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument('--img-size', type=int, default=512)
     p.add_argument('--base-features', type=int, default=64)
     p.add_argument('--clients', type=int, default=16)
+    p.add_argument('--sweep', type=str, default=None,
+                   help='comma list of client counts (e.g. 8,16,32,64): '
+                        'measure each against the SAME warm server — '
+                        'one load+compile, one JSON line per point — '
+                        'for the batching/latency-vs-concurrency '
+                        'envelope. Overrides --clients.')
     p.add_argument('--requests', type=int, default=256)
     p.add_argument('--max-batch', type=int, default=8)
     p.add_argument('--batch-window-ms', type=float, default=5.0)
@@ -105,60 +111,72 @@ def main():
                         .astype(np.uint8)).save(buf, format='PNG')
         bodies.append(buf.getvalue())
 
-    n_clients = max(1, args.clients)
-    per_client = max(1, args.requests // n_clients)
-    errors = []
-    latencies = [[] for _ in range(n_clients)]
+    def run_point(n_clients, requests):
+        """One measured concurrency point against the warm server."""
+        n_clients = max(1, n_clients)
+        per_client = max(1, requests // n_clients)
+        errors = []
+        latencies = [[] for _ in range(n_clients)]
 
-    def client(ci):
-        conn = http.client.HTTPConnection(host, port, timeout=120)
-        try:
-            for i in range(per_client):
-                t = time.time()
-                conn.request('POST', '/predict?format=json',
-                             body=bodies[(ci + i) % len(bodies)])
-                r = conn.getresponse()
-                data = r.read()
-                if r.status != 200:
-                    errors.append((ci, r.status, data[:80]))
-                    return
-                latencies[ci].append(time.time() - t)
-        except Exception as e:
-            errors.append((ci, type(e).__name__, str(e)[:80]))
-        finally:
-            conn.close()
+        def client(ci):
+            conn = http.client.HTTPConnection(host, port, timeout=120)
+            try:
+                for i in range(per_client):
+                    t = time.time()
+                    conn.request('POST', '/predict?format=json',
+                                 body=bodies[(ci + i) % len(bodies)])
+                    r = conn.getresponse()
+                    data = r.read()
+                    if r.status != 200:
+                        errors.append((ci, r.status, data[:80]))
+                        return
+                    latencies[ci].append(time.time() - t)
+            except Exception as e:
+                errors.append((ci, type(e).__name__, str(e)[:80]))
+            finally:
+                conn.close()
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.time() - t0
+        done = sum(len(ls) for ls in latencies)
+        lat = sorted(x for ls in latencies for x in ls)
+        if errors:
+            print(f'ERRORS ({len(errors)}): {errors[:4]}')
+        if done:
+            print(json.dumps({
+                'serve_slices_per_sec': round(done / dt, 2),
+                'clients': n_clients,
+                'requests_done': done,
+                'img_size': args.img_size,
+                'max_batch': args.max_batch,
+                'latency_p50_ms': round(lat[len(lat) // 2] * 1e3, 1),
+                'latency_p95_ms': round(lat[int(len(lat) * 0.95)] * 1e3, 1),
+            }), flush=True)
+        return bool(done)
 
     # warmup round (first requests pay nothing extra — compile already
     # done — but prime connections/threads)
-    warm = threading.Thread(target=client, args=(0,))
-    warm.start()
-    warm.join()
-    latencies[0].clear()
+    run_point(1, max(4, args.requests // 16))
 
-    threads = [threading.Thread(target=client, args=(i,))
-               for i in range(n_clients)]
-    t0 = time.time()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.time() - t0
-    done = sum(len(ls) for ls in latencies)
-    lat = sorted(x for ls in latencies for x in ls)
-    if errors:
-        print(f'ERRORS ({len(errors)}): {errors[:4]}')
-    if done:
-        print(json.dumps({
-            'serve_slices_per_sec': round(done / dt, 2),
-            'clients': n_clients,
-            'requests_done': done,
-            'img_size': args.img_size,
-            'max_batch': args.max_batch,
-            'latency_p50_ms': round(lat[len(lat) // 2] * 1e3, 1),
-            'latency_p95_ms': round(lat[int(len(lat) * 0.95)] * 1e3, 1),
-        }))
+    points = ([int(c) for c in args.sweep.split(',')] if args.sweep
+              else [args.clients])
+    any_done = False
+    for n_clients in points:
+        # scale offered load with concurrency so every point sees
+        # enough requests per client for stable percentiles
+        requests = (args.requests if len(points) == 1
+                    else max(args.requests, n_clients * 16))
+        any_done |= run_point(n_clients, requests)
+    if any_done:
         # server-side view: how well the micro-batcher aggregated the
-        # batch-1 clients (fill histogram, padding overhead, device ms)
+        # batch-1 clients (fill histogram, padding overhead, device ms;
+        # cumulative across the sweep, warmup included)
         try:
             conn = http.client.HTTPConnection(host, port, timeout=30)
             conn.request('GET', '/metrics')

